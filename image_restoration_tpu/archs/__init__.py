@@ -1,0 +1,29 @@
+"""Architecture registry + builder.
+
+Parity with reference archs/__init__.py:19-25 (`build_network`): networks are
+registered into ARCH_REGISTRY by decorator and instantiated from the `type:`
+key of a config dict. All *_arch modules are imported here so registration is
+complete after `import image_restoration_tpu.archs`.
+"""
+
+from copy import deepcopy
+
+from ..utils.registry import ARCH_REGISTRY
+
+from . import arch_util  # noqa: F401
+from . import rrdbnet_arch  # noqa: F401
+from . import srresnet_arch  # noqa: F401
+from . import srvgg_arch  # noqa: F401
+from . import edsr_arch  # noqa: F401
+from . import rcan_arch  # noqa: F401
+from . import stylegan2_arch  # noqa: F401
+from . import gfpgan_ocr_arch  # noqa: F401
+from . import discriminator_arch  # noqa: F401
+from . import vgg_arch  # noqa: F401
+
+
+def build_network(opt):
+    """Instantiate a flax module from a config dict with a `type:` key."""
+    opt = deepcopy(opt)
+    network_type = opt.pop("type")
+    return ARCH_REGISTRY.get(network_type)(**opt)

@@ -1,0 +1,268 @@
+"""PyTorch state_dict → flax params importer.
+
+Lets reference checkpoints (`net_g_*.pth` holding {'params', 'params_ema'} —
+see Car_Plate-Restoration/basicsr/models/base_model.py:170-214) load into the
+TPU-native networks, which is how BASELINE's "parity at matching weights" is
+scored.
+
+Mechanics: we walk each torch key against the *flax params template* (from
+`module.init`), so the importer is structure-driven rather than a hand-written
+per-arch table:
+  * numeric segments from nn.Sequential are skipped or merged into flax's
+    `name_{i}` list convention,
+  * `weight` maps to `weight` (our equalized layers keep torch's name) or
+    `kernel` (flax Conv/Dense), transposed OIHW→HWIO / (O,I)→(I,O),
+  * activation-bias params of fused LeakyReLU land in `act_bias`,
+  * flatten-boundary linears (features viewed as (C,H,W) in torch but
+    (H,W,C) here) get their input features permuted via `flatten_fixes`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_pth(path: str, param_key: Optional[str] = "params"):
+    """Load a .pth checkpoint to a {key: np.ndarray} dict (CPU, no grad)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        if param_key is not None and param_key in ckpt:
+            ckpt = ckpt[param_key]
+        elif "params_ema" in ckpt and param_key == "params":
+            ckpt = ckpt["params_ema"]
+        elif "state_dict" in ckpt:
+            ckpt = ckpt["state_dict"]
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("module."):  # strip DDP prefix (base_model.py:216-277)
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _template_paths(params: Dict) -> Dict:
+    return params
+
+
+def _resolve(tree: Dict, tokens: List[str]) -> Optional[Tuple[List[str], str]]:
+    """Resolve torch key tokens against a flax template tree.
+
+    Returns (path_to_submodule, leaf_name) or None if unresolvable.
+    """
+    path: List[str] = []
+    node = tree
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        is_last = i == len(tokens) - 1
+        if is_last:
+            # leaf resolution
+            if tok in node and not isinstance(node[tok], dict):
+                return path, tok
+            if tok == "weight":
+                for cand in ("weight", "kernel"):
+                    if cand in node and not isinstance(node[cand], dict):
+                        return path, cand
+            if tok == "bias":
+                for cand in ("bias", "act_bias"):
+                    if cand in node and not isinstance(node[cand], dict):
+                        return path, cand
+            if tok in ("running_mean", "running_var"):
+                cand = {"running_mean": "mean", "running_var": "var"}[tok]
+                if cand in node:
+                    return path, cand
+            return None
+        nxt = tokens[i + 1]
+        merged = f"{tok}_{nxt}"
+        if merged in node and isinstance(node[merged], dict):
+            path.append(merged)
+            node = node[merged]
+            i += 2
+            continue
+        if tok in node and isinstance(node[tok], dict):
+            path.append(tok)
+            node = node[tok]
+            i += 1
+            continue
+        if tok.isdigit():
+            layer = f"layer{tok}"
+            if layer in node and isinstance(node[layer], dict):
+                path.append(layer)
+                node = node[layer]
+                i += 1
+                continue
+            # bare Sequential index (ConvLayer etc.) — skip it
+            i += 1
+            continue
+        if tok in ("activate", "activation"):
+            # fused-lrelu submodule in torch; bias lives flat here
+            i += 1
+            continue
+        return None
+    return None
+
+
+def _fit(value: np.ndarray, target_shape: Tuple[int, ...],
+         flat_chw: Optional[Tuple[int, int, int]] = None) -> np.ndarray:
+    """Transpose/reshape a torch tensor to the flax template shape."""
+    v = value
+    if flat_chw is not None and v.ndim == 2:
+        # linear over a flattened (C,H,W): permute input features to (H,W,C)
+        c, h, w = flat_chw
+        out_dim = v.shape[0]
+        v = v.reshape(out_dim, c, h, w).transpose(0, 2, 3, 1).reshape(
+            out_dim, c * h * w)
+    if v.shape == target_shape:
+        return v
+    if v.ndim == 4:
+        for perm in [(2, 3, 1, 0), (0, 2, 3, 1)]:
+            t = v.transpose(perm)
+            if t.shape == target_shape:
+                return t
+        # modulated conv weight with leading 1: (1,O,I,k,k)
+        if v.ndim == 4 and v.shape[0] == 1:
+            t = v[0]
+            if t.shape == target_shape:
+                return t
+    if v.ndim == 5 and v.shape[0] == 1:
+        t = v[0].transpose(2, 3, 1, 0)  # (O,I,k,k)→HWIO
+        if t.shape == target_shape:
+            return t
+    if v.ndim == 2:
+        t = v.transpose(1, 0)
+        if t.shape == target_shape:
+            return t
+    if v.size == int(np.prod(target_shape)):
+        return v.reshape(target_shape)
+    raise ValueError(f"cannot fit torch tensor {value.shape} into "
+                     f"flax param {target_shape}")
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray],
+                       flax_params: Dict,
+                       key_rules: Sequence[Tuple[str, Any]] = (),
+                       flatten_fixes: Optional[Dict[str, Tuple[int, int, int]]] = None,
+                       strict: bool = True) -> Dict:
+    """Map a torch state_dict onto a flax params template.
+
+    Args:
+      state_dict: torch name → numpy array.
+      flax_params: template pytree (nested dicts) from module.init.
+      key_rules: list of (regex, repl) applied to torch keys first; a repl of
+        None drops the key (e.g. noise buffers handled elsewhere).
+      flatten_fixes: flax path prefix (joined by '/') → (C,H,W) of the torch
+        flatten so linear input features can be permuted.
+      strict: raise on unmatched torch keys or unfilled flax leaves.
+    """
+    import jax.numpy as jnp
+
+    flatten_fixes = flatten_fixes or {}
+    new_params = {}  # path tuple → array
+    unmatched = []
+    for key, value in state_dict.items():
+        k = key
+        dropped = False
+        for pattern, repl in key_rules:
+            if re.search(pattern, k):
+                if repl is None:
+                    dropped = True
+                    break
+                k = re.sub(pattern, repl, k)
+        if dropped:
+            continue
+        res = _resolve(flax_params, k.split("."))
+        if res is None:
+            unmatched.append(key)
+            continue
+        path, leaf = res
+        node = flax_params
+        for p in path:
+            node = node[p]
+        target = node[leaf]
+        prefix = "/".join(path + [leaf])
+        flat_chw = None
+        for fk, chw in flatten_fixes.items():
+            if prefix.startswith(fk):
+                flat_chw = chw
+        fitted = _fit(np.asarray(value), tuple(target.shape), flat_chw)
+        new_params[tuple(path + [leaf])] = jnp.asarray(
+            fitted, dtype=target.dtype)
+
+    if strict and unmatched:
+        raise KeyError(f"{len(unmatched)} torch keys unmatched: "
+                       f"{unmatched[:10]}")
+
+    # fill the template
+    filled_count = [0]
+
+    def fill(node, path):
+        out = {}
+        for name, child in node.items():
+            p = path + (name,)
+            if isinstance(child, dict):
+                out[name] = fill(child, p)
+            elif p in new_params:
+                out[name] = new_params[p]
+                filled_count[0] += 1
+            else:
+                if strict:
+                    raise KeyError(f"flax param {'/'.join(p)} not present in "
+                                   "torch checkpoint")
+                out[name] = child
+        return out
+
+    result = fill(flax_params, ())
+    if strict and filled_count[0] != len(new_params):
+        raise KeyError("some converted tensors did not land in the template")
+    return result
+
+
+# ------------------------------------------------------- per-arch presets
+
+def gfpgan_key_rules(input_is_latent: bool = True):
+    rules = [
+        (r"^stylegan_decoder\.noises\..*", None),
+        (r"^noises\..*", None),
+    ]
+    if input_is_latent:
+        # style MLP is bypassed (production config input_is_latent: true),
+        # so its params never materialize in the flax template — drop them.
+        rules.append((r"\.style_mlp\.\d+\.", None))
+    else:
+        rules.append((r"style_mlp\.(\d+)",
+                      lambda m: f"style_mlp_{int(m.group(1)) - 1}"))
+    return rules
+
+
+def stylegan_gen_key_rules():
+    return [
+        (r"^noises\..*", None),
+        (r"^style_mlp\.(\d+)",
+         lambda m: f"style_mlp_{int(m.group(1)) - 1}"),
+    ]
+
+
+def import_network(arch_name: str, module, variables, state_dict):
+    """Convert `state_dict` for a known arch into `variables`' params tree."""
+    params = variables["params"]
+    rules: Sequence = ()
+    fixes: Dict[str, Tuple[int, int, int]] = {}
+    if arch_name in ("GFPGANv1OCR",):
+        rules = gfpgan_key_rules(module.input_is_latent)
+        c4 = int(512 * module.narrow * 0.5)
+        fixes = {"final_linear": (c4, 4, 4 * module.ratio)}
+    elif arch_name in ("StyleGAN2OCRGenerator", "StyleGAN2Generator"):
+        rules = stylegan_gen_key_rules()
+    elif arch_name == "StyleGAN2Discriminator":
+        from ..archs.stylegan2_arch import stylegan_channels
+        channels = stylegan_channels(module.channel_multiplier, module.narrow)
+        ratio = int(module.input_width / module.input_height)
+        fixes = {"final_linear_0": (channels[4], 4, 4 * ratio)}
+    new_params = convert_state_dict(state_dict, params, rules, fixes)
+    out = dict(variables)
+    out["params"] = new_params
+    return out

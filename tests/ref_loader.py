@@ -1,0 +1,111 @@
+"""Load reference PyTorch arch modules (read-only, /root/reference) for
+golden-parity testing, WITHOUT executing the package __init__ chain (which
+would try to build CUDA extensions).
+
+We pre-register stub `basicsr.*` modules providing pure-PyTorch equivalents
+of the CUDA ops (our own formulations — the same math the CPU fallbacks
+compute), then import individual arch files through the package machinery so
+their relative imports resolve.
+"""
+
+import logging
+import math
+import sys
+import types
+
+import torch
+from torch import nn
+import torch.nn.functional as F
+
+REF_ROOT = "/root/reference/Car_Plate-Restoration"
+
+
+def _fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+    if bias is not None:
+        shape = [1, -1] + [1] * (x.dim() - 2)
+        x = x + bias.view(*shape)
+    return F.leaky_relu(x, negative_slope) * scale
+
+
+class _FusedLeakyReLU(nn.Module):
+    def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+        super().__init__()
+        self.bias = nn.Parameter(torch.zeros(channel))
+        self.negative_slope = negative_slope
+        self.scale = scale
+
+    def forward(self, x):
+        return _fused_leaky_relu(x, self.bias, self.negative_slope, self.scale)
+
+
+def _upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
+    """Pure-torch upfirdn2d (zero-insert → pad → conv(flipped) → subsample)."""
+    b, c, h, w = x.shape
+    x = x.reshape(b * c, 1, h, w)
+    out = torch.zeros(b * c, 1, h * up, w * up, dtype=x.dtype)
+    out[:, :, ::up, ::up] = x
+    p0, p1 = pad
+    out = F.pad(out, (max(p0, 0), max(p1, 0), max(p0, 0), max(p1, 0)))
+    if p0 < 0 or p1 < 0:
+        out = out[:, :, max(-p0, 0):out.shape[2] - max(-p1, 0),
+                  max(-p0, 0):out.shape[3] - max(-p1, 0)]
+    k = torch.flip(kernel, [0, 1])[None, None]
+    out = F.conv2d(out, k)
+    out = out[:, :, ::down, ::down]
+    return out.reshape(b, c, out.shape[2], out.shape[3])
+
+
+def install_stubs():
+    if "basicsr" in sys.modules:
+        return
+
+    def pkg(name, path=None):
+        mod = types.ModuleType(name)
+        if path:
+            mod.__path__ = [path]
+        sys.modules[name] = mod
+        return mod
+
+    pkg("basicsr", f"{REF_ROOT}/basicsr")
+    pkg("basicsr.archs", f"{REF_ROOT}/basicsr/archs")
+    pkg("basicsr.ops")
+    utils = pkg("basicsr.utils")
+    utils.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+
+    registry = pkg("basicsr.utils.registry")
+
+    class _Registry:
+        def register(self, obj=None, suffix=None):
+            if obj is None:
+                return lambda f: f
+            return obj
+
+        def get(self, name):
+            raise KeyError(name)
+
+    for rname in ("ARCH_REGISTRY", "MODEL_REGISTRY", "DATASET_REGISTRY",
+                  "LOSS_REGISTRY", "METRIC_REGISTRY"):
+        setattr(registry, rname, _Registry())
+    utils.registry = registry
+
+    fused = pkg("basicsr.ops.fused_act")
+    fused.fused_leaky_relu = _fused_leaky_relu
+    fused.FusedLeakyReLU = _FusedLeakyReLU
+
+    up = pkg("basicsr.ops.upfirdn2d")
+    up.upfirdn2d = _upfirdn2d
+
+    dcn = pkg("basicsr.ops.dcn")
+    dcn.ModulatedDeformConvPack = object
+    dcn.modulated_deform_conv = None
+    dcn.DeformConv = object
+    dcn.DeformConvPack = object
+    dcn.deform_conv = None
+    dcn.ModulatedDeformConv = object
+
+
+def load_ref_arch(module_name: str):
+    """e.g. load_ref_arch('rrdbnet_arch') → the reference torch module."""
+    install_stubs()
+    import importlib
+    return importlib.import_module(f"basicsr.archs.{module_name}")
