@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: 512² x4-SR tiles/sec/chip (BASELINE.json headline metric).
+
+Runs SRVGGNetCompact (realesr-general config: 64 feat, 32 convs, x4) in bf16
+over batched 512²(+halo) tiles on the real TPU chip — the tiled-inference hot
+path. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
+Baseline: 200 tiles/sec/chip (BASELINE.md north star).
+
+Timing methodology: the axon tunnel has ~40-500 ms per-dispatch RPC latency,
+so wall-clock around single jit calls measures the tunnel, not the chip. We
+time an ON-CHIP lax.scan of `ITERS` data-dependent forwards inside one jit
+and fetch a scalar — this is what a production serving loop (resident on the
+host attached to the TPU) would sustain.
+
+Extra diagnostics (RRDBNet tiles/sec, GFPGAN imgs/sec) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.archs import build_network
+
+BASELINE_TILES_PER_SEC = 200.0
+HALO = 16
+TILE = 512
+ITERS = 20
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def onchip_ms(apply_fn, params, x, iters=ITERS):
+    """ms per forward, measured as an on-chip scan with data dependency."""
+
+    def step(carry, _):
+        y = apply_fn(params, x + carry)
+        return jnp.mean(y).astype(x.dtype), None
+
+    @jax.jit
+    def loop():
+        c, _ = jax.lax.scan(step, jnp.zeros((), x.dtype), None, length=iters)
+        return c
+
+    float(loop())  # compile + first run
+    t0 = time.perf_counter()
+    s = float(loop())
+    assert np.isfinite(s)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    rng = np.random.default_rng(0)
+    size = TILE + 2 * HALO  # halo-padded tile as served by tiled_apply
+    log(f"devices: {jax.devices()}")
+
+    # ---- headline: SRVGG realesr-general x4, bf16, batched tiles
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=64, num_conv=32,
+                             upscale=4, dtype=jnp.bfloat16))
+
+    def apply_fn(p, x):
+        return net.apply({"params": p}, x)
+
+    best, best_bs = 0.0, 1
+    for bs in (1, 4):
+        x = jnp.asarray(rng.random((bs, size, size, 3), np.float32),
+                        jnp.bfloat16)
+        variables = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
+        ms = onchip_ms(apply_fn, variables["params"], x)
+        tps = bs / (ms / 1e3)
+        log(f"SRVGG x4 {size}² bf16 bs={bs}: {ms:.2f} ms → {tps:.1f} tiles/s")
+        if tps > best:
+            best, best_bs = tps, bs
+
+    # ---- diagnostics
+    try:
+        rrdb = build_network(dict(type="RRDBNet", scale=4, num_feat=64,
+                                  num_block=23, dtype=jnp.bfloat16))
+        xr = jnp.asarray(rng.random((1, size, size, 3), np.float32),
+                         jnp.bfloat16)
+        vr = jax.jit(rrdb.init)(jax.random.PRNGKey(0), xr)
+        ms = onchip_ms(lambda p, x: rrdb.apply({"params": p}, x),
+                       vr["params"], xr, iters=3)
+        log(f"RRDBNet-23 x4 {size}² bf16 bs=1: {ms:.1f} ms → "
+            f"{1e3 / ms:.1f} tiles/s")
+    except Exception as e:  # diagnostics must not break the headline
+        log(f"RRDBNet diag failed: {e}")
+
+    try:
+        gfp = build_network(dict(type="GFPGANv1OCR", input_width=256,
+                                 input_height=256, num_style_feat=256,
+                                 channel_multiplier=0.5, num_mlp=4,
+                                 input_is_latent=True, different_w=True,
+                                 narrow=1, sft_half=True,
+                                 dtype=jnp.bfloat16))
+        xg = jnp.asarray(rng.random((4, 256, 256, 3), np.float32),
+                         jnp.bfloat16)
+        vg = jax.jit(lambda k, x: gfp.init(k, x, randomize_noise=False))(
+            jax.random.PRNGKey(0), xg)
+        ms = onchip_ms(
+            lambda p, x: gfp.apply({"params": p}, x,
+                                   randomize_noise=False)[0],
+            vg["params"], xg, iters=5)
+        log(f"GFPGANv1OCR 256² bf16 bs=4: {ms:.1f} ms → "
+            f"{4e3 / ms:.1f} imgs/s")
+    except Exception as e:
+        log(f"GFPGAN diag failed: {e}")
+
+    result = {
+        "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
+                  f"(bf16, bs={best_bs}, on-chip)",
+        "value": round(best, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Single-image / batch restoration inference.
+
+Parity with Car_Plate-Restoration/inference.py:28-78 (restore 256×256 plate
+crops with GFPGANv1OCR at params_ema) plus the tiled large-image path that
+BASELINE mandates (reflect-pad halo tiles, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .archs import build_network
+from .convert.torch_import import import_network, load_pth
+from .parallel.tiling import tiled_apply
+from .utils.img_util import imread, imwrite, tensor2img
+from .ops.resize import resize as jresize
+
+
+PRODUCTION_GFPGAN = dict(
+    type="GFPGANv1OCR", input_width=256, input_height=256,
+    num_style_feat=256, channel_multiplier=0.5, num_mlp=4,
+    input_is_latent=True, different_w=True, narrow=1, sft_half=True)
+
+
+class Restorer:
+    """Jitted restoration wrapper around any registered arch."""
+
+    def __init__(self, network_opt: dict, ckpt_path: Optional[str] = None,
+                 param_key: str = "params_ema", dtype=None,
+                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                 out_min_max=(-1, 1)):
+        opt = dict(network_opt)
+        if dtype is not None:
+            opt["dtype"] = dtype
+        self.net = build_network(opt)
+        self.arch = network_opt["type"]
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.out_min_max = out_min_max
+        self.input_size = (opt.get("input_height"), opt.get("input_width"))
+
+        h = opt.get("input_height") or 64
+        w = opt.get("input_width") or 64
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        self.variables = jax.jit(self.net.init)(jax.random.PRNGKey(0),
+                                                dummy)
+        if ckpt_path:
+            sd = load_pth(ckpt_path, param_key)
+            self.variables = import_network(self.arch, self.net,
+                                            self.variables, sd)
+
+        def fwd(params, x):
+            out = self.net.apply({"params": params}, x)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        """HWC RGB float [0,1] → HWC BGR uint8 restored (matching reference
+        normalization: (x-0.5)/0.5 in, (−1,1) out — inference.py:58-78)."""
+        x = jnp.asarray((img - self.mean) / self.std)[None]
+        if self.input_size[0] is not None and (
+                x.shape[1] != self.input_size[0]
+                or x.shape[2] != self.input_size[1]):
+            x = jresize(x, self.input_size, "bilinear")
+        out = self._fwd(self.variables["params"], x)
+        return tensor2img(out, min_max=self.out_min_max)
+
+    def restore_tiled(self, img: np.ndarray, tile: int = 512,
+                      halo: int = 16, scale: int = 4,
+                      tile_batch: int = 4) -> np.ndarray:
+        x = jnp.asarray((img - self.mean) / self.std)[None]
+        out = tiled_apply(lambda t: self._fwd(self.variables["params"], t),
+                          x, tile=tile, halo=halo, scale=scale,
+                          tile_batch=tile_batch)
+        return tensor2img(out, min_max=self.out_min_max)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Restore plate/car images")
+    parser.add_argument("--input", type=str, required=True,
+                        help="image file or glob")
+    parser.add_argument("--output", type=str, default="results")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="reference .pth checkpoint to import")
+    parser.add_argument("--arch", type=str, default="gfpgan_ocr",
+                        choices=["gfpgan_ocr", "rrdbnet", "srvgg"])
+    parser.add_argument("--tile", type=int, default=0,
+                        help=">0 enables halo-tiled inference")
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.arch == "gfpgan_ocr":
+        net_opt = PRODUCTION_GFPGAN
+        mean_std = dict(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                        out_min_max=(-1, 1))
+    elif args.arch == "rrdbnet":
+        net_opt = dict(type="RRDBNet", num_in_ch=3, num_out_ch=3, scale=4,
+                       num_feat=64, num_block=23, num_grow_ch=32)
+        mean_std = dict(mean=(0, 0, 0), std=(1, 1, 1), out_min_max=(0, 1))
+    else:
+        net_opt = dict(type="SRVGGNetCompact", num_feat=64, num_conv=32,
+                       upscale=4)
+        mean_std = dict(mean=(0, 0, 0), std=(1, 1, 1), out_min_max=(0, 1))
+
+    restorer = Restorer(net_opt, args.ckpt,
+                        dtype=jnp.bfloat16 if args.bf16 else None, **mean_std)
+    os.makedirs(args.output, exist_ok=True)
+    paths = sorted(glob.glob(args.input))
+    if not paths:
+        raise FileNotFoundError(args.input)
+    for path in paths:
+        img = imread(path)
+        t0 = time.time()
+        if args.tile:
+            out = restorer.restore_tiled(img, tile=args.tile)
+        else:
+            out = restorer(img)
+        name = os.path.splitext(os.path.basename(path))[0]
+        dst = os.path.join(args.output, f"{name}_restored.png")
+        imwrite(out, dst)
+        print(f"{path} -> {dst}  ({time.time() - t0:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
