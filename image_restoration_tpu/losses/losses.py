@@ -1,0 +1,350 @@
+"""Loss zoo — parity with Car_Plate-Restoration/basicsr/losses/losses.py.
+
+  L1/MSE/Charbonnier (+elementwise weight)       ref :80-226
+  SobelLoss / WMSELoss (edge-map losses)         ref :13-63,108-162
+  WeightedTVLoss                                 ref :229-246
+  PerceptualLoss (VGG19 taps + Gram style)       ref :250-356
+  GANLoss (vanilla/lsgan/wgan/wgan_softplus/hinge) ref :360-460
+  MultiScaleGANLoss / GANFeatLoss                ref :465-488,561-593
+  r1_penalty / g_path_regularize / gradient_penalty ref :492-546
+
+All losses are pure functions of jnp arrays (NHWC); the autograd-based
+regularizers are expressed with jax.grad closures instead of
+torch.autograd.grad.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import LOSS_REGISTRY
+
+
+def _reduce(x, reduction: str, weight=None):
+    if weight is not None:
+        x = x * weight
+    if reduction == "none":
+        return x
+    if reduction == "sum":
+        return jnp.sum(x)
+    if reduction == "mean":
+        if weight is None:
+            return jnp.mean(x)
+        # weighted mean matches ref loss_util.weighted_loss semantics:
+        # mean over all elements (weight already applied)
+        return jnp.mean(x)
+    raise ValueError(f"unsupported reduction {reduction}")
+
+
+# ------------------------------------------------------------ elementwise
+
+
+@LOSS_REGISTRY.register()
+class L1Loss:
+    def __init__(self, loss_weight: float = 1.0, reduction: str = "mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None, **kw):
+        return self.loss_weight * _reduce(jnp.abs(pred - target),
+                                          self.reduction, weight)
+
+
+@LOSS_REGISTRY.register()
+class MSELoss:
+    def __init__(self, loss_weight: float = 1.0, reduction: str = "mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None, **kw):
+        return self.loss_weight * _reduce((pred - target) ** 2,
+                                          self.reduction, weight)
+
+
+@LOSS_REGISTRY.register()
+class CharbonnierLoss:
+    def __init__(self, loss_weight: float = 1.0, reduction: str = "mean",
+                 eps: float = 1e-12):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+        self.eps = eps
+
+    def __call__(self, pred, target, weight=None, **kw):
+        return self.loss_weight * _reduce(
+            jnp.sqrt((pred - target) ** 2 + self.eps), self.reduction, weight)
+
+
+# ------------------------------------------------------------- edge losses
+
+
+_SOBEL_X = np.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+_SOBEL_Y = np.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], np.float32)
+
+
+def sobel_edge_map(x: jax.Array) -> jax.Array:
+    """sqrt(|Gx| + |Gy|) with Gx/Gy summed over input channels.
+
+    The reference (losses.py:13-37) convolves with a kernel expanded over
+    (batch, channels, 3, 3) — i.e. one cross-channel sobel response
+    replicated `batch` times on the channel axis; the replication is a no-op
+    under mean reduction, so we compute the single-channel response.
+    """
+    c = x.shape[-1]
+    kx = jnp.asarray(np.tile(_SOBEL_X[:, :, None, None], (1, 1, c, 1)))
+    ky = jnp.asarray(np.tile(_SOBEL_Y[:, :, None, None], (1, 1, c, 1)))
+    dn = ("NHWC", "HWIO", "NHWC")
+    gx = jax.lax.conv_general_dilated(x, kx.astype(x.dtype), (1, 1),
+                                      ((1, 1), (1, 1)), dimension_numbers=dn)
+    gy = jax.lax.conv_general_dilated(x, ky.astype(x.dtype), (1, 1),
+                                      ((1, 1), (1, 1)), dimension_numbers=dn)
+    return jnp.sqrt(jnp.abs(gx) + jnp.abs(gy))
+
+
+@LOSS_REGISTRY.register()
+class SobelLoss:
+    """L1 between sobel edge maps. Ref losses.py:142-168."""
+
+    def __init__(self, loss_weight: float = 1.0, reduction: str = "mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None, **kw):
+        e1, e2 = sobel_edge_map(pred), sobel_edge_map(target)
+        return self.loss_weight * _reduce(jnp.abs(e1 - e2), self.reduction,
+                                          weight)
+
+
+@LOSS_REGISTRY.register()
+class WMSELoss:
+    """MSE between sobel edge maps. Ref losses.py:108-140."""
+
+    def __init__(self, loss_weight: float = 1.0, reduction: str = "mean"):
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+
+    def __call__(self, pred, target, weight=None, **kw):
+        e1, e2 = sobel_edge_map(pred), sobel_edge_map(target)
+        return self.loss_weight * _reduce((e1 - e2) ** 2, self.reduction,
+                                          weight)
+
+
+@LOSS_REGISTRY.register()
+class WeightedTVLoss(L1Loss):
+    """TV loss with optional elementwise weight. Ref losses.py:229-246."""
+
+    def __init__(self, loss_weight: float = 1.0):
+        super().__init__(loss_weight=loss_weight, reduction="mean")
+
+    def __call__(self, pred, weight=None, **kw):
+        wy = None if weight is None else weight[:, :-1, :, :]
+        wx = None if weight is None else weight[:, :, :-1, :]
+        y_loss = super().__call__(pred[:, :-1, :, :], pred[:, 1:, :, :], wy)
+        x_loss = super().__call__(pred[:, :, :-1, :], pred[:, :, 1:, :], wx)
+        return y_loss + x_loss
+
+
+# --------------------------------------------------------- perceptual loss
+
+
+def gram_matrix(feat: jax.Array) -> jax.Array:
+    """(N,H,W,C) → (N,C,C)/(C·H·W) Gram. Ref losses.py:339-356."""
+    n, h, w, c = feat.shape
+    f = feat.reshape(n, h * w, c)
+    return jnp.einsum("nic,nid->ncd", f, f) / (c * h * w)
+
+
+@LOSS_REGISTRY.register()
+class PerceptualLoss:
+    """VGG19 perceptual + style loss. Ref losses.py:250-356.
+
+    Holds its own VGGFeatureExtractor params. `vgg_weights_path` may point
+    to a torchvision vgg19 state_dict .pth; without it the taps are random
+    (tests / ablation only — pass real weights for training parity).
+    """
+
+    def __init__(self, layer_weights: Dict[str, float],
+                 vgg_type: str = "vgg19", use_input_norm: bool = True,
+                 range_norm: bool = False, perceptual_weight: float = 1.0,
+                 style_weight: float = 0.0, criterion: str = "l1",
+                 vgg_weights_path: Optional[str] = None):
+        from ..archs.vgg_arch import VGGFeatureExtractor
+        self.layer_weights = dict(layer_weights)
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.criterion = criterion
+        self.vgg = VGGFeatureExtractor(
+            layer_name_list=tuple(layer_weights.keys()), vgg_type=vgg_type,
+            use_input_norm=use_input_norm, range_norm=range_norm)
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        self.vgg_variables = jax.jit(self.vgg.init)(
+            jax.random.PRNGKey(0), dummy)
+        if vgg_weights_path:
+            from ..convert.vgg_import import load_torchvision_vgg19
+            self.vgg_variables = load_torchvision_vgg19(
+                vgg_weights_path, self.vgg_variables)
+
+    def _crit(self, a, b):
+        if self.criterion == "l1":
+            return jnp.mean(jnp.abs(a - b))
+        if self.criterion in ("l2", "mse"):
+            return jnp.mean((a - b) ** 2)
+        if self.criterion == "fro":
+            return jnp.linalg.norm(a - b)
+        raise ValueError(self.criterion)
+
+    def __call__(self, x, gt):
+        fx = self.vgg.apply(self.vgg_variables, x)
+        fgt = self.vgg.apply(self.vgg_variables,
+                             jax.lax.stop_gradient(gt))
+        percep, style = None, None
+        if self.perceptual_weight > 0:
+            percep = sum(self._crit(fx[k], fgt[k]) * w
+                         for k, w in self.layer_weights.items())
+            percep = percep * self.perceptual_weight
+        if self.style_weight > 0:
+            style = sum(self._crit(gram_matrix(fx[k]), gram_matrix(fgt[k]))
+                        * w for k, w in self.layer_weights.items())
+            style = style * self.style_weight
+        return percep, style
+
+
+# --------------------------------------------------------------- GAN losses
+
+
+@LOSS_REGISTRY.register()
+class GANLoss:
+    """vanilla | lsgan | wgan | wgan_softplus | hinge. Ref losses.py:360-460."""
+
+    def __init__(self, gan_type: str, real_label_val: float = 1.0,
+                 fake_label_val: float = 0.0, loss_weight: float = 1.0):
+        self.gan_type = gan_type
+        self.real_label_val = real_label_val
+        self.fake_label_val = fake_label_val
+        self.loss_weight = loss_weight
+        if gan_type not in ("vanilla", "lsgan", "wgan", "wgan_softplus",
+                            "hinge"):
+            raise NotImplementedError(f"GAN type {gan_type} not implemented")
+
+    def __call__(self, inp, target_is_real: bool, is_disc: bool = False):
+        if self.gan_type == "vanilla":
+            label = self.real_label_val if target_is_real else \
+                self.fake_label_val
+            # BCE-with-logits
+            loss = jnp.mean(jnp.maximum(inp, 0) - inp * label +
+                            jnp.log1p(jnp.exp(-jnp.abs(inp))))
+        elif self.gan_type == "lsgan":
+            label = self.real_label_val if target_is_real else \
+                self.fake_label_val
+            loss = jnp.mean((inp - label) ** 2)
+        elif self.gan_type == "wgan":
+            loss = -jnp.mean(inp) if target_is_real else jnp.mean(inp)
+        elif self.gan_type == "wgan_softplus":
+            loss = jnp.mean(jax.nn.softplus(-inp)) if target_is_real else \
+                jnp.mean(jax.nn.softplus(inp))
+        elif self.gan_type == "hinge":
+            if is_disc:
+                inp = -inp if target_is_real else inp
+                loss = jnp.mean(jax.nn.relu(1 + inp))
+            else:
+                loss = -jnp.mean(inp)
+        if is_disc:
+            return loss
+        return loss * self.loss_weight
+
+
+@LOSS_REGISTRY.register()
+class MultiScaleGANLoss(GANLoss):
+    """GANLoss averaged over a list of multi-scale D outputs. Ref :465-488."""
+
+    def __call__(self, inp, target_is_real, is_disc=False):
+        if isinstance(inp, (list, tuple)):
+            total = 0.0
+            for pred in inp:
+                if isinstance(pred, (list, tuple)):
+                    pred = pred[-1]
+                total = total + super().__call__(pred, target_is_real,
+                                                 is_disc)
+            return total / len(inp)
+        return super().__call__(inp, target_is_real, is_disc)
+
+
+@LOSS_REGISTRY.register()
+class GANFeatLoss:
+    """Multi-scale D feature-matching loss (HiFaceGAN). Ref :561-593."""
+
+    def __init__(self, criterion: str = "l1", loss_weight: float = 1.0,
+                 reduction: str = "mean"):
+        if criterion == "l1":
+            self.crit = L1Loss(1.0, reduction)
+        elif criterion in ("l2", "mse"):
+            self.crit = MSELoss(1.0, reduction)
+        elif criterion == "charbonnier":
+            self.crit = CharbonnierLoss(1.0, reduction)
+        else:
+            raise ValueError(criterion)
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred_fake, pred_real):
+        num_d = len(pred_fake)
+        loss = 0.0
+        for i in range(num_d):
+            num_layers = len(pred_fake[i]) - 1
+            for j in range(num_layers):
+                loss = loss + self.crit(
+                    pred_fake[i][j],
+                    jax.lax.stop_gradient(pred_real[i][j])) / num_d
+        return loss * self.loss_weight
+
+
+# ------------------------------------------------------------ regularizers
+
+
+def r1_penalty(d_fn: Callable, real_img: jax.Array) -> jax.Array:
+    """R1 gradient penalty: E[‖∇_x D(x)‖²]. Ref losses.py:492-504.
+
+    `d_fn` maps images → per-sample logits.
+    """
+    grad = jax.grad(lambda img: jnp.sum(d_fn(img)))(real_img)
+    return jnp.mean(jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1))
+
+
+def g_path_regularize(fake_fn: Callable, latents: jax.Array,
+                      mean_path_length, noise_rng,
+                      decay: float = 0.01):
+    """StyleGAN2 path-length regularizer. Ref losses.py:507-521.
+
+    `fake_fn(latents)` regenerates the fake image from latents.
+    """
+    fake_img = fake_fn(latents)
+    h, w = fake_img.shape[1], fake_img.shape[2]
+    noise = jax.random.normal(noise_rng, fake_img.shape) / math.sqrt(h * w)
+    grad = jax.grad(
+        lambda lat: jnp.sum(fake_fn(lat) * noise))(latents)
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad ** 2, axis=2), axis=1))
+    path_mean = mean_path_length + decay * (jnp.mean(path_lengths)
+                                            - mean_path_length)
+    penalty = jnp.mean((path_lengths - path_mean) ** 2)
+    return penalty, jax.lax.stop_gradient(jnp.mean(path_lengths)), \
+        jax.lax.stop_gradient(path_mean)
+
+
+def gradient_penalty_loss(d_fn: Callable, real_data: jax.Array,
+                          fake_data: jax.Array, rng,
+                          weight=None) -> jax.Array:
+    """WGAN-GP penalty at random interpolates. Ref losses.py:524-546."""
+    alpha = jax.random.uniform(rng, (real_data.shape[0], 1, 1, 1))
+    interp = real_data + alpha * (fake_data - real_data)
+    grad = jax.grad(lambda x: jnp.sum(d_fn(x)))(interp)
+    if weight is not None:
+        grad = grad * weight
+    norm = jnp.sqrt(jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1)
+                    + 1e-12)
+    loss = jnp.mean((norm - 1.0) ** 2)
+    if weight is not None:
+        loss = loss / jnp.mean(weight)
+    return loss

@@ -69,7 +69,7 @@ def install_stubs():
     pkg("basicsr", f"{REF_ROOT}/basicsr")
     pkg("basicsr.archs", f"{REF_ROOT}/basicsr/archs")
     pkg("basicsr.ops")
-    utils = pkg("basicsr.utils")
+    utils = pkg("basicsr.utils", f"{REF_ROOT}/basicsr/utils")
     utils.get_root_logger = lambda *a, **k: logging.getLogger("ref")
 
     registry = pkg("basicsr.utils.registry")
@@ -102,6 +102,25 @@ def install_stubs():
     dcn.DeformConvPack = object
     dcn.deform_conv = None
     dcn.ModulatedDeformConv = object
+
+    pkg("basicsr.losses", f"{REF_ROOT}/basicsr/losses")
+    pkg("basicsr.metrics", f"{REF_ROOT}/basicsr/metrics")
+    pkg("basicsr.data", f"{REF_ROOT}/basicsr/data")
+
+    # torchvision is not installed; vgg_arch only needs importability
+    if "torchvision" not in sys.modules:
+        tv = pkg("torchvision")
+        tvm = pkg("torchvision.models")
+        tv.models = tvm
+        tvm.vgg = types.SimpleNamespace()
+        tvm.VGG19_Weights = types.SimpleNamespace(DEFAULT=None)
+
+
+def load_ref_module(dotted: str):
+    """e.g. load_ref_module('losses.losses') / ('metrics.psnr_ssim')."""
+    install_stubs()
+    import importlib
+    return importlib.import_module(f"basicsr.{dotted}")
 
 
 def load_ref_arch(module_name: str):
