@@ -114,6 +114,19 @@ def install_stubs():
         tv.models = tvm
         tvm.vgg = types.SimpleNamespace()
         tvm.VGG19_Weights = types.SimpleNamespace(DEFAULT=None)
+        tvt = pkg("torchvision.transforms")
+        tvf = pkg("torchvision.transforms.functional_tensor")
+        tvf.rgb_to_grayscale = lambda x: (
+            0.299 * x[..., 0:1, :, :] + 0.587 * x[..., 1:2, :, :] +
+            0.114 * x[..., 2:3, :, :])
+        tvt.functional_tensor = tvf
+
+    if "pyblur" not in sys.modules:
+        pb = pkg("pyblur")
+        pb.RandomizedBlur = lambda img: img
+        pb.RandomMotion = lambda img: img
+        pb.RandomCover = lambda img: img
+        pb.LinearMotionBlur = lambda img, *a, **k: img
 
 
 def load_ref_module(dotted: str):
