@@ -78,12 +78,19 @@ class VGGStyleDiscriminator256(_VGGStyleDiscriminator):
 
 
 class SpectralConv(nn.Module):
-    """Conv2d wrapped in spectral normalization (power iteration)."""
+    """Conv2d with spectral normalization.
+
+    Stateless formulation: σ is estimated by `power_iters` power iterations
+    from a fixed deterministic start vector each forward (torch SN keeps a
+    persistent `u` and runs 1 iteration/step; a few fresh iterations reach
+    the same σ and need no mutable collection under jit).
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
     use_bias: bool = True
+    power_iters: int = 3
     dtype: Dtype = None
 
     @nn.compact
@@ -92,19 +99,15 @@ class SpectralConv(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", jax.nn.initializers.variance_scaling(
             2.0, "fan_in", "normal"), (k, k, in_ch, self.features))
-        u = self.variable("spectral", "u",
-                          lambda: jax.random.normal(
-                              jax.random.PRNGKey(0), (self.features,)))
-        w = kernel.reshape(-1, self.features)
-        u_val = u.value
-        # one power iteration
-        v = w @ u_val
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w.T @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = v @ (w @ u_new)
-        if update_sn and not self.is_initializing():
-            u.value = jax.lax.stop_gradient(u_new)
+        w = jax.lax.stop_gradient(kernel).reshape(-1, self.features)
+        u = jnp.ones((self.features,), w.dtype) / jnp.sqrt(
+            jnp.asarray(self.features, w.dtype))
+        for _ in range(self.power_iters):
+            v = w @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = w.T @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+        sigma = v @ (w @ u)
         w_sn = kernel / jax.lax.stop_gradient(sigma)
         out = jax.lax.conv_general_dilated(
             x, w_sn.astype(x.dtype), (self.stride, self.stride),

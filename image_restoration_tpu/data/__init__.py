@@ -3,6 +3,7 @@
 from copy import deepcopy
 
 from ..utils.registry import DATASET_REGISTRY
+from .loader import build_dataloader, DataLoader, EnlargedSampler  # noqa: F401
 
 
 def build_dataset(opt):

@@ -1,0 +1,249 @@
+"""GFPGANModel — the production license-plate GAN trainer.
+
+Parity with basicsr/models/gfpgan_model.py:18-894:
+  * losses: L1 pixel (:519-523), Sobel (:526-529), image-pyramid L1 vs
+    out_rgbs with `remove_pyramid_loss` schedule (:503-536), VGG
+    perceptual+style (:539-546), wgan_softplus GAN (:549-552)
+  * D: logistic loss + R1 penalty every net_d_reg_every (:669-691)
+  * EMA decay 0.5**(32/10000) every step (:667)
+  * G Adam betas (0, 0.99); D lr/β scaled by r = d_reg_every/(d_reg_every+1)
+  * fix_decoder → optimizer mask over the stylegan_decoder subtree
+
+TPU structure: three jitted functions — the fused G+D step (the degradation
+synthesis, G forward with pyramid, all G losses, G update, EMA, and the D
+logistic update share one compiled graph) and a separate D-R1 step traced
+once and invoked every `net_d_reg_every` iters (python-level gating avoids
+recompilation, as SURVEY §7 prescribes). The reference's
+torch.autograd.set_detect_anomaly + try/except backward (:495,:658-664) are
+unnecessary: debug_nans is an opt-in jax config (utils/debug.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import build_loss
+from ..losses.losses import r1_penalty
+from ..utils.registry import MODEL_REGISTRY
+from ..ops.resize import resize as jresize
+from .sr_model import SRModel
+
+
+@MODEL_REGISTRY.register()
+class GFPGANModel(SRModel):
+    def __init__(self, opt: dict):
+        # SRModel builds net_g, EMA and optimizer_g; override its example
+        opt = dict(opt)
+        net_g_opt = opt["network_g"]
+        self._hw = (net_g_opt.get("input_height", 256),
+                    net_g_opt.get("input_width", 256))
+        opt.setdefault("gt_size", self._hw[0])
+        opt.setdefault("scale", 1)  # GFPGAN restores at full resolution
+        super().__init__(opt)
+        self.log_size = int(math.log2(min(self._hw)))
+        self.ratio = net_g_opt.get("input_width", 256) // \
+            net_g_opt.get("input_height", 256)
+        if not self.is_train:
+            return
+
+        train_opt = opt["train"]
+        # GFPGAN EMA decay (ref :667)
+        self.ema_decay = 0.5 ** (32 / (10 * 1000))
+
+        # rebuild optimizer_g with StyleGAN betas + decoder freeze
+        params_g = jax.device_get(self.state["params_g"])
+        frozen = "stylegan_decoder" if net_g_opt.get("fix_decoder") else None
+        self._schedules = []
+        self.tx_g = self.make_optimizer("optim_g", params_g,
+                                        frozen_prefix=frozen,
+                                        betas=(0.0, 0.99))
+
+        # discriminator
+        self.net_d = self.build_net("network_d")
+        example = jnp.zeros((1, self._hw[0], self._hw[1], 3), jnp.float32)
+        params_d = self.init_params(self.net_d, example)
+        pre_d = opt["path"].get("pretrain_network_d")
+        if pre_d and pre_d.endswith((".pth", ".pt")):
+            params_d = self.load_pretrain_torch(
+                self.net_d, opt["network_d"]["type"], params_d, pre_d)
+
+        self.net_d_iters = train_opt.get("net_d_iters", 1)
+        self.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
+        self.net_d_reg_every = train_opt.get("net_d_reg_every", 16)
+        self.r1_reg_weight = train_opt.get("r1_reg_weight", 10.0)
+        ratio = self.net_d_reg_every / (self.net_d_reg_every + 1)
+        self.tx_d = self.make_optimizer("optim_d", params_d,
+                                        lr_scale=ratio,
+                                        betas=(0.0 ** ratio, 0.99 ** ratio))
+
+        # losses (ref init_training_settings :160-215)
+        self.cri_pix = build_loss(train_opt["pixel_opt"]) if \
+            train_opt.get("pixel_opt") else None
+        self.cri_sobel = build_loss(train_opt["sobel_opt"]) if \
+            train_opt.get("sobel_opt") else None
+        self.cri_l1 = build_loss(train_opt["L1_opt"]) if \
+            train_opt.get("L1_opt") else None
+        self.cri_perceptual = build_loss(train_opt["perceptual_opt"]) if \
+            train_opt.get("perceptual_opt") else None
+        self.cri_gan = build_loss(train_opt["gan_opt"])
+        self.pyramid_loss_weight = train_opt.get("pyramid_loss_weight", 1.0)
+        self.remove_pyramid_loss = train_opt.get("remove_pyramid_loss",
+                                                 float("inf"))
+
+        self.state = dict(
+            {k: v for k, v in self.state.items()},
+            opt_g=self.replicate(self.tx_g.init(params_g)),
+            params_d=self.replicate(params_d),
+            opt_d=self.replicate(self.tx_d.init(params_d)))
+        self._gd_step = None
+        self._r1_step = None
+
+    # ------------------------------------------------------------- steps
+
+    def _pyramid_gt(self, gt):
+        """Ref construct_img_pyramid (:302-314): bilinear gt pyramid."""
+        pyramid = []
+        for i in range(self.log_size - 2):
+            h = 2 ** (i + 3)
+            pyramid.append(jresize(gt, (h, h * self.ratio), "bilinear"))
+        return pyramid
+
+    def _build_gd_step(self):
+        tx_g, tx_d = self.tx_g, self.tx_d
+        degrade = self.degrade_fn
+        net_g, net_d = self.net_g, self.net_d
+
+        def d_apply(pd, x):
+            return net_d.apply({"params": pd}, x)
+
+        def g_loss(pg, pd, lq, gt, noise_rng, pyr_w, use_gan_losses):
+            output, out_rgbs = net_g.apply(
+                {"params": pg}, lq, return_rgb=True,
+                rngs={"noise": noise_rng})
+            total = 0.0
+            losses = {}
+            if self.cri_pix is not None:
+                l_pix = self.cri_pix(output, gt)
+                total += l_pix
+                losses["l_g_pix"] = l_pix
+            if self.cri_sobel is not None:
+                l_sobel = self.cri_sobel(output, gt)
+                total += l_sobel
+                losses["l_g_sobel"] = l_sobel
+            if self.cri_l1 is not None and out_rgbs:
+                pyramid_gt = self._pyramid_gt(gt)
+                for i, (rgb, pgt) in enumerate(zip(out_rgbs, pyramid_gt)):
+                    l_pyr = self.cri_l1(rgb, pgt) * pyr_w
+                    total += l_pyr
+                    losses[f"l_p_{2 ** (i + 3)}"] = l_pyr
+            if self.cri_perceptual is not None:
+                l_percep, l_style = self.cri_perceptual(output, gt)
+                if l_percep is not None:
+                    total += l_percep
+                    losses["l_g_percep"] = l_percep
+                if l_style is not None:
+                    total += l_style
+                    losses["l_g_style"] = l_style
+            fake_pred = d_apply(pd, output)
+            l_gan = self.cri_gan(fake_pred, True, is_disc=False)
+            total = total + l_gan
+            losses["l_g_gan"] = l_gan
+            # net_d_iters gating (ref :508): zero the non-GAN G loss when
+            # this iter skips the G update
+            total = total * use_gan_losses
+            return total, (losses, output)
+
+        @jax.jit
+        def step(state, batch, rng, pyr_w, update_g):
+            data_rng, noise_rng = jax.random.split(rng)
+            if degrade is not None:
+                lq, gt = degrade(data_rng, batch["gt"])
+            else:
+                lq, gt = batch["lq"], batch["gt"]
+            (_, (losses, output)), grads = jax.value_and_grad(
+                g_loss, has_aux=True)(
+                state["params_g"], state["params_d"], lq, gt, noise_rng,
+                pyr_w, update_g)
+            updates, opt_g = tx_g.update(grads, state["opt_g"],
+                                         state["params_g"])
+            params_g = optax.apply_updates(state["params_g"], updates)
+            ema = self.ema_update(state["ema_g"], params_g, self.ema_decay)
+
+            # ---- D logistic step (ref :669-681)
+            def d_loss(pd):
+                fake = d_apply(pd, jax.lax.stop_gradient(output))
+                real = d_apply(pd, gt)
+                l_d = self.cri_gan(real, True, is_disc=True) + \
+                    self.cri_gan(fake, False, is_disc=True)
+                return l_d, (jnp.mean(real), jnp.mean(fake))
+
+            (l_d, (real_s, fake_s)), d_grads = jax.value_and_grad(
+                d_loss, has_aux=True)(state["params_d"])
+            d_updates, opt_d = tx_d.update(d_grads, state["opt_d"],
+                                           state["params_d"])
+            params_d = optax.apply_updates(state["params_d"], d_updates)
+
+            losses["l_d"] = l_d
+            losses["real_score"] = real_s
+            losses["fake_score"] = fake_s
+            new_state = dict(state, params_g=params_g, ema_g=ema,
+                             opt_g=opt_g, params_d=params_d, opt_d=opt_d,
+                             iter=state["iter"] + 1)
+            return new_state, losses, gt
+
+        return step
+
+    def _build_r1_step(self):
+        tx_d = self.tx_d
+        net_d = self.net_d
+        weight = self.r1_reg_weight / 2 * self.net_d_reg_every
+
+        @jax.jit
+        def step(state, gt):
+            def loss(pd):
+                return weight * r1_penalty(
+                    lambda x: net_d.apply({"params": pd}, x), gt)
+
+            l_r1, grads = jax.value_and_grad(loss)(state["params_d"])
+            updates, opt_d = tx_d.update(grads, state["opt_d"],
+                                         state["params_d"])
+            params_d = optax.apply_updates(state["params_d"], updates)
+            return dict(state, params_d=params_d, opt_d=opt_d), l_r1
+
+        return step
+
+    def optimize_parameters(self, current_iter: int, batch, rng):
+        if self._gd_step is None:
+            self._gd_step = self._build_gd_step()
+            self._r1_step = self._build_r1_step()
+        if current_iter < self.remove_pyramid_loss:
+            pyr_w = self.pyramid_loss_weight
+        else:
+            pyr_w = 1e-12  # ref :503-506
+        update_g = float(current_iter % self.net_d_iters == 0
+                         and current_iter > self.net_d_init_iters)
+        batch = self.shard_batch(batch)
+        self.state, losses, gt = self._gd_step(
+            self.state, batch, rng, jnp.float32(pyr_w),
+            jnp.float32(update_g))
+        if current_iter % self.net_d_reg_every == 0:
+            self.state, l_r1 = self._r1_step(self.state, gt)
+            losses["l_d_r1"] = l_r1
+        self.log_dict = self.reduce_loss_dict(losses)
+        return self.log_dict
+
+    # -------------------------------------------------------------- test
+
+    def test(self, lq):
+        if not hasattr(self, "_test_fn") or self._test_fn is None:
+            self._test_fn = jax.jit(
+                lambda p, x: self.net_g.apply({"params": p}, x,
+                                              randomize_noise=False)[0])
+        return self._test_fn(
+            self.state.get("ema_g", self.state["params_g"]),
+            jnp.asarray(lq))

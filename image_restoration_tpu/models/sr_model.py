@@ -1,0 +1,167 @@
+"""SRModel — L1/perceptual SR trainer.
+
+Parity with basicsr/models/sr_model.py:15-209: pixel + perceptual losses,
+EMA (:38-52), optimize_parameters (:91-118), validation with PSNR/SSIM
+(:135-184). The optimization step is ONE jitted function over the data mesh;
+when the dataset provides a device degradation pipeline, the LQ synthesis
+runs inside the same jit (gt → degrade → forward → loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import build_loss
+from ..metrics import calculate_metric
+from ..utils.registry import MODEL_REGISTRY
+from ..utils.img_util import tensor2img, imwrite
+from .base_model import BaseModel
+
+
+@MODEL_REGISTRY.register()
+class SRModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.net_g = self.build_net("network_g")
+        train_opt = opt.get("train", {})
+
+        gt_size = opt.get("gt_size") or \
+            (opt.get("datasets", {}).get("train", {}) or {}).get("gt_size",
+                                                                 64)
+        scale = opt.get("scale", 4)
+        hw = getattr(self, "_hw", (gt_size, gt_size))  # rect-aware subclass
+        example = jnp.zeros((1, hw[0] // scale, hw[1] // scale, 3),
+                            jnp.float32)
+        params = self.init_params(self.net_g, example)
+
+        # load pretrain (torch .pth import or orbax resume handled upstream)
+        pre = opt["path"].get("pretrain_network_g")
+        if pre and pre.endswith((".pth", ".pt")):
+            params = self.load_pretrain_torch(
+                self.net_g, opt["network_g"]["type"], params, pre,
+                opt["path"].get("param_key_g", "params"))
+
+        self.state = {"params_g": params, "ema_g": params, "iter": 0}
+        self.ema_decay = (train_opt or {}).get("ema_decay", 0.999)
+
+        if self.is_train:
+            self.cri_pix = build_loss(train_opt["pixel_opt"]) if \
+                train_opt.get("pixel_opt") else None
+            self.cri_perceptual = build_loss(train_opt["perceptual_opt"]) \
+                if train_opt.get("perceptual_opt") else None
+            self.tx_g = self.make_optimizer("optim_g", params)
+            self.state["opt_g"] = self.tx_g.init(params)
+            self.state = self.replicate(self.state)
+            self.degrade_fn = None  # set by set_degradation_pipeline
+            self._train_step = None
+
+    def set_degradation_pipeline(self, degrade_fn):
+        self.degrade_fn = degrade_fn
+        self._train_step = None
+
+    # ------------------------------------------------------------- train
+
+    def _build_train_step(self):
+        cri_pix = self.cri_pix
+        cri_perceptual = self.cri_perceptual
+        tx = self.tx_g
+        ema_decay = self.ema_decay
+        degrade = self.degrade_fn
+
+        def loss_fn(params, lq, gt):
+            out = self.net_g.apply({"params": params}, lq)
+            if isinstance(out, tuple):
+                out = out[0]
+            total = 0.0
+            losses = {}
+            if cri_pix is not None:
+                l_pix = cri_pix(out, gt)
+                total += l_pix
+                losses["l_pix"] = l_pix
+            if cri_perceptual is not None:
+                l_p, l_s = cri_perceptual(out, gt)
+                if l_p is not None:
+                    total += l_p
+                    losses["l_percep"] = l_p
+                if l_s is not None:
+                    total += l_s
+                    losses["l_style"] = l_s
+            return total, losses
+
+        @jax.jit
+        def step(state, batch, rng):
+            if degrade is not None:
+                lq, gt = degrade(rng, batch["gt"])
+            else:
+                lq, gt = batch["lq"], batch["gt"]
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params_g"], lq, gt)
+            updates, opt_g = tx.update(grads, state["opt_g"],
+                                       state["params_g"])
+            params = optax.apply_updates(state["params_g"], updates)
+            ema = self.ema_update(state["ema_g"], params, ema_decay)
+            new_state = dict(state, params_g=params, ema_g=ema,
+                             opt_g=opt_g, iter=state["iter"] + 1)
+            return new_state, losses
+
+        return step
+
+    def optimize_parameters(self, current_iter: int, batch, rng):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        batch = self.shard_batch(batch)
+        self.state, losses = self._train_step(self.state, batch, rng)
+        self.log_dict = self.reduce_loss_dict(losses)
+        return self.log_dict
+
+    # -------------------------------------------------------------- test
+
+    def test(self, lq):
+        if not hasattr(self, "_test_fn") or self._test_fn is None:
+            self._test_fn = jax.jit(
+                lambda p, x: self.net_g.apply({"params": p}, x))
+        out = self._test_fn(self.state.get("ema_g", self.state["params_g"]),
+                            jnp.asarray(lq))
+        if isinstance(out, tuple):
+            out = out[0]
+        return out
+
+    def validation(self, dataloader, current_iter: int, tb_logger=None,
+                   save_img: bool = False):
+        """Nondist validation loop (ref sr_model.py:135-184)."""
+        metrics_opt = (self.opt.get("val", {}) or {}).get("metrics", {})
+        results = {name: [] for name in metrics_opt}
+        min_max = self.opt.get("val", {}).get("min_max", (0, 1))
+        for batch in dataloader:
+            if "lq" in batch:
+                lq = batch["lq"]
+            else:
+                # degrade on device with a fixed key for determinism
+                lq, _ = self.degrade_fn(jax.random.PRNGKey(0),
+                                        jnp.asarray(batch["gt"]))
+            out = np.asarray(self.test(lq))
+            sr_img = tensor2img(out, min_max=min_max)
+            if "gt" in batch:
+                gt_img = tensor2img(batch["gt"], min_max=min_max)
+                for name, m_opt in metrics_opt.items():
+                    results[name].append(calculate_metric(
+                        {"img": sr_img, "img2": gt_img}, m_opt))
+            if save_img:
+                path = batch.get("gt_path", batch.get("lq_path", ["img"]))[0]
+                import os.path as osp
+                name = osp.splitext(osp.basename(path))[0]
+                dst = osp.join(self.opt["path"]["visualization"],
+                               f"{name}_{current_iter}.png")
+                imwrite(sr_img, dst)
+        avg = {k: float(np.mean(v)) for k, v in results.items() if v}
+        for name, val in avg.items():
+            self.logger.info(f"Validation {name}: {val:.4f}")
+            if tb_logger is not None:
+                tb_logger.add_scalar(f"metrics/{name}", val, current_iter)
+        return avg

@@ -1,0 +1,115 @@
+"""File IO backends — parity with basicsr/utils/file_client.py.
+
+Backends:
+  * 'disk' — plain files (ref DiskBackend)
+  * 'pak'  — packed-record store replacing the reference's LMDB backend
+    (lmdb is not a dependency): one blob file + binary index, supporting
+    O(1) random reads. `make_pak_from_folder` replaces
+    utils/lmdb_util.make_lmdb_from_imgs. The native C++ reader
+    (native/pakio) mmaps the blob and serves multi-threaded reads; this
+    module falls back to pure-Python IO when the shared library is absent.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from os import path as osp
+from typing import Dict, Optional, Tuple
+
+_MAGIC = b"IRPK"
+
+
+def write_pak(records, pak_path: str) -> None:
+    """records: iterable of (key:str, data:bytes). Writes .pak + .pak.idx."""
+    index = []
+    with open(pak_path, "wb") as blob:
+        offset = 0
+        for key, data in records:
+            blob.write(data)
+            index.append((key, offset, len(data)))
+            offset += len(data)
+    with open(pak_path + ".idx", "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(index)))
+        for key, off, length in index:
+            kb = key.encode("utf-8")
+            f.write(struct.pack("<I", len(kb)))
+            f.write(kb)
+            f.write(struct.pack("<QQ", off, length))
+
+
+def read_pak_index(pak_path: str) -> Dict[str, Tuple[int, int]]:
+    index = {}
+    with open(pak_path + ".idx", "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"bad pak index magic in {pak_path}.idx")
+        (count,) = struct.unpack("<Q", f.read(8))
+        for _ in range(count):
+            (klen,) = struct.unpack("<I", f.read(4))
+            key = f.read(klen).decode("utf-8")
+            off, length = struct.unpack("<QQ", f.read(16))
+            index[key] = (off, length)
+    return index
+
+
+def make_pak_from_folder(folder: str, pak_path: str, suffix=("png", "jpg",
+                                                             "jpeg", "bmp")):
+    """Pack a folder of images (replaces make_lmdb_from_imgs,
+    lmdb_util.py:9-153)."""
+    from .misc import scandir
+    paths = sorted(scandir(folder, suffix=suffix, recursive=True))
+
+    def gen():
+        for rel in paths:
+            with open(osp.join(folder, rel), "rb") as f:
+                yield rel, f.read()
+
+    write_pak(gen(), pak_path)
+    return len(paths)
+
+
+class _PakBackend:
+    def __init__(self, pak_path: str):
+        self.pak_path = pak_path
+        self.index = read_pak_index(pak_path)
+        self._native = None
+        try:
+            from ..native.pakio import NativePakReader
+            self._native = NativePakReader(pak_path)
+        except Exception:
+            self._fh = open(pak_path, "rb")
+
+    def get(self, key: str) -> bytes:
+        off, length = self.index[key]
+        if self._native is not None:
+            return self._native.read(off, length)
+        self._fh.seek(off)
+        return self._fh.read(length)
+
+    def keys(self):
+        return self.index.keys()
+
+
+class FileClient:
+    """Unified client (ref file_client.py:132-167)."""
+
+    def __init__(self, backend: str = "disk", **kwargs):
+        self.backend = backend
+        if backend == "disk":
+            self._client = None
+        elif backend in ("pak", "lmdb"):
+            # 'lmdb' in reference configs maps to the pak store here
+            path = kwargs.get("db_paths") or kwargs.get("pak_path")
+            if isinstance(path, (list, tuple)):
+                path = path[0]
+            self._client = _PakBackend(path)
+        else:
+            raise ValueError(f"unsupported file backend {backend}")
+
+    def get(self, filepath: str, client_key: Optional[str] = None) -> bytes:
+        if self.backend == "disk":
+            with open(filepath, "rb") as f:
+                return f.read()
+        return self._client.get(filepath)

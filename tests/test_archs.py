@@ -149,5 +149,5 @@ def test_unet_sn_discriminator_runs():
     net = build_network(dict(type="UNetDiscriminatorSN", num_feat=16))
     x = jnp.zeros((2, 64, 64, 3))
     variables = net.init(jax.random.PRNGKey(0), x)
-    out, _ = net.apply(variables, x, update_sn=True, mutable=["spectral"])
+    out = net.apply(variables, x)
     assert out.shape == (2, 64, 64, 1)

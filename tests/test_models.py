@@ -1,0 +1,192 @@
+"""Trainer smoke tests: tiny models, a few optimization steps on the
+8-device CPU mesh; losses must be finite and decrease for the plain SR case."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.models import build_model
+from image_restoration_tpu.models.lr_scheduler import (
+    multistep_restart_lr, cosine_annealing_restart_lr)
+
+
+def _base_opt(tmp_path):
+    return {
+        "is_train": True,
+        "manual_seed": 0,
+        "num_devices": 1,
+        "path": {"models": str(tmp_path / "models"),
+                 "visualization": str(tmp_path / "vis")},
+        "logger": {"print_freq": 1},
+    }
+
+
+def test_lr_schedules():
+    s = multistep_restart_lr(2e-3, [100, 200], gamma=0.5)
+    assert float(s(0)) == pytest.approx(2e-3)
+    assert float(s(150)) == pytest.approx(1e-3)
+    assert float(s(250)) == pytest.approx(5e-4)
+    c = cosine_annealing_restart_lr(1e-3, [100, 100],
+                                    restart_weights=[1, 0.5])
+    assert float(c(0)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(c(99)) < 1e-4
+    assert float(c(100)) == pytest.approx(0.5e-3, rel=0.05)
+
+
+def test_sr_model_loss_decreases(tmp_path):
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "SRModel",
+        "scale": 2, "gt_size": 16,
+        "network_g": dict(type="MSRResNet", num_feat=8, num_block=1,
+                          upscale=2),
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-3},
+            "scheduler": {"type": "MultiStepLR", "milestones": [1000]},
+            "total_iter": 10,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        },
+    })
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    gt = rng.random((2, 16, 16, 3)).astype(np.float32)
+    lq = gt[:, ::2, ::2, :].copy()
+    batch = {"lq": lq, "gt": gt}
+    losses = []
+    for i in range(8):
+        out = model.optimize_parameters(i + 1, batch,
+                                        jax.random.PRNGKey(i))
+        losses.append(out["l_pix"])
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # ema differs from params after updates
+    d = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        model.state["params_g"], model.state["ema_g"]))
+    assert max(d) > 0
+
+
+def test_sr_model_with_device_degradation(tmp_path):
+    from image_restoration_tpu.data.pipelines import (
+        FFHQDegradationConfig, make_ffhq_degradation)
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "SRModel",
+        "scale": 1, "gt_size": 32,
+        "network_g": dict(type="SRVGGNetCompact", num_feat=8, num_conv=2,
+                          upscale=1),
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-3},
+            "total_iter": 4,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        },
+    })
+    model = build_model(opt)
+    cfg = FFHQDegradationConfig(kernel_list=("iso", "aniso"),
+                                kernel_prob=(0.5, 0.5),
+                                downsample_range=(2.0, 4.0),
+                                mean=(0, 0, 0), std=(1, 1, 1))
+    model.set_degradation_pipeline(make_ffhq_degradation(cfg))
+    gt = np.random.default_rng(0).random((2, 32, 32, 3)).astype(np.float32)
+    out = model.optimize_parameters(1, {"gt": gt}, jax.random.PRNGKey(0))
+    assert np.isfinite(out["l_pix"])
+
+
+def test_gfpgan_model_steps(tmp_path):
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "GFPGANModel",
+        "network_g": dict(type="GFPGANv1OCR", input_width=32,
+                          input_height=32, num_style_feat=16,
+                          channel_multiplier=0.25, num_mlp=2,
+                          input_is_latent=True, different_w=True,
+                          narrow=0.5, sft_half=True, fix_decoder=False),
+        "network_d": dict(type="StyleGAN2Discriminator", input_width=32,
+                          input_height=32, channel_multiplier=0.25,
+                          narrow=0.25),
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 2e-3},
+            "optim_d": {"type": "Adam", "lr": 2e-3},
+            "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                          "gamma": 0.5},
+            "total_iter": 6,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 0.1},
+            "L1_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "GANLoss", "gan_type": "wgan_softplus",
+                        "loss_weight": 0.1},
+            "pyramid_loss_weight": 1.0,
+            "remove_pyramid_loss": 3,
+            "r1_reg_weight": 10,
+            "net_d_iters": 1,
+            "net_d_init_iters": 0,
+            "net_d_reg_every": 2,
+        },
+    })
+    model = build_model(opt)
+    rng = np.random.default_rng(1)
+    gt = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+    lq = np.clip(gt + rng.normal(0, 0.1, gt.shape), -1, 1).astype(np.float32)
+    batch = {"lq": lq, "gt": gt}
+    for i in range(1, 5):
+        out = model.optimize_parameters(i, batch, jax.random.PRNGKey(i))
+        for k, v in out.items():
+            assert np.isfinite(v), f"{k} not finite at iter {i}"
+    assert "l_d_r1" in out          # iter 4 is an R1 iter
+    assert "l_p_8" in out           # pyramid loss logged
+    # test path (EMA, fixed noise)
+    res = model.test(lq)
+    assert res.shape == gt.shape
+
+
+def test_esrgan_model_steps(tmp_path):
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "ESRGANModel",
+        "scale": 2, "gt_size": 32,
+        "network_g": dict(type="MSRResNet", num_feat=8, num_block=1,
+                          upscale=2),
+        "network_d": dict(type="UNetDiscriminatorSN", num_feat=8),
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4},
+            "optim_d": {"type": "Adam", "lr": 1e-4},
+            "total_iter": 4,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                        "loss_weight": 0.1},
+            "net_d_iters": 1, "net_d_init_iters": 0,
+        },
+    })
+    model = build_model(opt)
+    rng = np.random.default_rng(2)
+    gt = rng.random((2, 32, 32, 3)).astype(np.float32)
+    lq = gt[:, ::2, ::2, :].copy()
+    for i in range(1, 3):
+        out = model.optimize_parameters(i, {"lq": lq, "gt": gt},
+                                        jax.random.PRNGKey(i))
+        assert all(np.isfinite(v) for v in out.values())
+
+
+def test_save_and_resume(tmp_path):
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "SRModel",
+        "scale": 2, "gt_size": 16,
+        "network_g": dict(type="MSRResNet", num_feat=8, num_block=1,
+                          upscale=2),
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3}, "total_iter": 4,
+                  "pixel_opt": {"type": "L1Loss"}},
+    })
+    model = build_model(opt)
+    gt = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+    lq = gt[:, ::2, ::2, :].copy()
+    model.optimize_parameters(1, {"lq": lq, "gt": gt}, jax.random.PRNGKey(0))
+    model.save(1)
+
+    model2 = build_model(opt)
+    model2.resume(str(tmp_path / "models" / "ckpt_1"))
+    a = jax.tree.leaves(model.state["params_g"])[0]
+    b = jax.tree.leaves(model2.state["params_g"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(model2.state["iter"]) == 1
