@@ -20,6 +20,7 @@ from . import stylegan2_arch  # noqa: F401
 from . import gfpgan_ocr_arch  # noqa: F401
 from . import discriminator_arch  # noqa: F401
 from . import vgg_arch  # noqa: F401
+from . import retinaface_arch  # noqa: F401
 
 
 def build_network(opt):

@@ -64,7 +64,7 @@ def _resolve(tree: Dict, tokens: List[str]) -> Optional[Tuple[List[str], str]]:
             if tok in node and not isinstance(node[tok], dict):
                 return path, tok
             if tok == "weight":
-                for cand in ("weight", "kernel"):
+                for cand in ("weight", "kernel", "scale"):  # scale = BN gamma
                     if cand in node and not isinstance(node[cand], dict):
                         return path, cand
             if tok == "bias":
