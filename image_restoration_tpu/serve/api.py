@@ -1,0 +1,172 @@
+"""Serving hosts — parity with the reference FastAPI servers.
+
+  * /Vehicle_Resolution_GFPGAN/  (api_plate_oto.py:404-489) — full pipeline,
+    returns the 6-panel montage PNG
+  * /Restore/  (api.py:125-151) — restoration-only, returns the restored JPEG
+  * /RestoreConcat/  (api1.py:140-174) — input|output side-by-side
+
+`create_app()` builds a FastAPI app when fastapi is installed; otherwise
+`run_server()` serves the same endpoints on a stdlib http.server (this image
+has no fastapi/uvicorn). Both paths share `PlatePipeline`/`Restorer` — the
+HTTP layer is a thin shell over the jitted graphs.
+"""
+
+from __future__ import annotations
+
+import email
+import email.policy
+import io
+import json
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from .pipeline import PlatePipeline, image_to_base64
+
+
+def _decode_request_image(body: bytes, content_type: str = "") -> np.ndarray:
+    """Accept raw image bytes or multipart/form-data with a `file` field."""
+    if content_type.startswith("multipart/form-data"):
+        msg = email.message_from_bytes(
+            b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body,
+            policy=email.policy.HTTP)
+        for part in msg.iter_parts():
+            payload = part.get_payload(decode=True)
+            if payload:
+                body = payload
+                break
+    arr = np.frombuffer(body, np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("could not decode image payload")
+    return img
+
+
+class ServiceCore:
+    """Endpoint logic shared by both HTTP shells."""
+
+    def __init__(self, pipeline: Optional[PlatePipeline] = None,
+                 restorer=None):
+        self.pipeline = pipeline or PlatePipeline()
+        self.restorer = restorer or self.pipeline.car_restorer
+
+    def vehicle_resolution(self, img_bgr: np.ndarray) -> bytes:
+        result = self.pipeline.process(img_bgr)
+        ok, buf = cv2.imencode(".png", result["montage"])
+        return buf.tobytes()
+
+    def _size(self) -> int:
+        return self.restorer.input_size[0] or 256
+
+    def restore(self, img_bgr: np.ndarray) -> bytes:
+        """api.py behavior: resize to model size, restore, JPEG (:92-151)."""
+        s = self._size()
+        img = cv2.resize(img_bgr, (s, s))
+        out = self.restorer(img[..., ::-1].astype(np.float32) / 255.0)
+        ok, buf = cv2.imencode(".jpg", out)
+        return buf.tobytes()
+
+    def restore_concat(self, img_bgr: np.ndarray) -> bytes:
+        """api1.py behavior: hconcat(input, output) (:106-174)."""
+        s = self._size()
+        img = cv2.resize(img_bgr, (s, s))
+        out = self.restorer(img[..., ::-1].astype(np.float32) / 255.0)
+        concat = cv2.hconcat([img, out])
+        ok, buf = cv2.imencode(".jpg", concat)
+        return buf.tobytes()
+
+
+ROUTES = {
+    "/Vehicle_Resolution_GFPGAN/": ("vehicle_resolution", "image/png"),
+    "/Restore/": ("restore", "image/jpeg"),
+    "/RestoreConcat/": ("restore_concat", "image/jpeg"),
+}
+
+
+def create_app(core: Optional[ServiceCore] = None):
+    """FastAPI app (requires fastapi to be installed)."""
+    from fastapi import FastAPI, File
+    from fastapi.responses import Response
+
+    core = core or ServiceCore()
+    app = FastAPI()
+
+    @app.post("/Vehicle_Resolution_GFPGAN/")
+    async def vehicle(file: bytes = File(...)):  # noqa: ANN001
+        img = _decode_request_image(file)
+        return Response(core.vehicle_resolution(img), media_type="image/png")
+
+    @app.post("/Restore/")
+    async def restore(file: bytes = File(...)):  # noqa: ANN001
+        img = _decode_request_image(file)
+        return Response(core.restore(img), media_type="image/jpeg")
+
+    @app.post("/RestoreConcat/")
+    async def restore_concat(file: bytes = File(...)):  # noqa: ANN001
+        img = _decode_request_image(file)
+        return Response(core.restore_concat(img), media_type="image/jpeg")
+
+    return app
+
+
+def make_stdlib_handler(core: ServiceCore):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                route = ROUTES.get(self.path)
+                if route is None:
+                    self.send_error(404, f"unknown endpoint {self.path}")
+                    return
+                method, media = route
+                img = _decode_request_image(
+                    body, self.headers.get("Content-Type", ""))
+                payload = getattr(core, method)(img)
+                self.send_response(200)
+                self.send_header("Content-Type", media)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception as exc:  # mirror the reference error envelope
+                payload = json.dumps({"is_success": False,
+                                      "msg": "Server error",
+                                      "results": str(exc)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    return Handler
+
+
+def run_server(host: str = "0.0.0.0", port: int = 8000,
+               core: Optional[ServiceCore] = None, use_fastapi: bool = True):
+    core = core or ServiceCore()
+    if use_fastapi:
+        try:
+            import uvicorn
+            app = create_app(core)
+            uvicorn.run(app, host=host, port=port)
+            return
+        except ImportError:
+            pass
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer((host, port), make_stdlib_handler(core))
+    print(f"serving on http://{host}:{port} (stdlib http.server)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    run_server()

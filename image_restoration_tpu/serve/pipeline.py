@@ -1,0 +1,170 @@
+"""End-to-end product pipeline: detect → crop/mask/pad → restore plate +
+car → perspective paste-back → montage.
+
+Parity with Car_Plate-Restoration/api_plate_oto.py:
+  * detector landmarks scaled to the 256² canvas (:238-245)
+  * crop = boundingRect of corner landmarks [p1,p2,p5,p4], polygon mask,
+    masked composite, aspect-preserving pad to 256² (:264-297; the reference
+    saves the mask-composite `dst`, i.e. black background — preserved)
+  * plate restorer fed WITHOUT BGR→RGB swap, car restorer WITH it, both
+    ±0.5-normalized, outputs (−1,1) (:349-401)
+  * perspective warp of the restored plate back onto the restored car with
+    a polygon mask paste (:304-320, :455-466)
+  * 6-panel montage hconcat (:449-466)
+
+The reference's disk round-trips (image.jpg / results.jpg / ...) are gone —
+everything stays in memory; the TRT engine + TorchScript + torch GFPGAN trio
+become three jitted JAX graphs.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..infer import Restorer, PRODUCTION_GFPGAN
+from ..detect.engine import PlateDetector
+
+
+def image_to_base64(img_bgr: np.ndarray) -> str:
+    """utils.py:image_to_base64 parity."""
+    _, buf = cv2.imencode(".jpg", img_bgr)
+    return base64.b64encode(buf.tobytes()).decode("utf-8")
+
+
+def base64_to_image(data: str) -> np.ndarray:
+    """utils.py:base64_to_image parity."""
+    arr = np.frombuffer(base64.b64decode(data), np.uint8)
+    return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+
+
+def resize_with_padding(img_bgr: np.ndarray, expected=(256, 256),
+                        fill: int = 0) -> np.ndarray:
+    """PIL thumbnail+expand equivalent (api_plate_oto.py:186-194)."""
+    h, w = img_bgr.shape[:2]
+    scale = min(expected[0] / w, expected[1] / h, 1.0)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    resized = cv2.resize(img_bgr, (nw, nh))
+    canvas = np.full((expected[1], expected[0], 3), fill, np.uint8)
+    x0 = (expected[0] - nw) // 2
+    y0 = (expected[1] - nh) // 2
+    canvas[y0:y0 + nh, x0:x0 + nw] = resized
+    return canvas
+
+
+class PlatePipeline:
+    """detector + plate restorer + car restorer, all-TPU."""
+
+    TARGET = 256
+
+    def __init__(self, detector: Optional[PlateDetector] = None,
+                 plate_restorer: Optional[Restorer] = None,
+                 car_restorer: Optional[Restorer] = None,
+                 detector_ckpt: Optional[str] = None,
+                 plate_ckpt: Optional[str] = None,
+                 car_ckpt: Optional[str] = None, dtype=None):
+        self.detector = detector or PlateDetector(ckpt_path=detector_ckpt,
+                                                  dtype=dtype)
+        # the reference's TorchScript plate model is GFPGANv1OCR at the
+        # production config (SURVEY §7 hard parts)
+        self.plate_restorer = plate_restorer or Restorer(
+            PRODUCTION_GFPGAN, plate_ckpt, dtype=dtype)
+        self.car_restorer = car_restorer or Restorer(
+            PRODUCTION_GFPGAN, car_ckpt, dtype=dtype)
+
+    # ----------------------------------------------------------- helpers
+
+    def _detect_quad(self, img_bgr: np.ndarray):
+        """5 landmarks on the 256² canvas → corner quad [p1,p2,p5,p4]."""
+        t = self.TARGET
+        inp = cv2.resize(img_bgr.astype(np.float32),
+                         (self.detector.image_size,
+                          self.detector.image_size),
+                         interpolation=cv2.INTER_LINEAR)
+        boxes, scores, landms, valid = self.detector(inp[None])
+        pts = (landms[0, 0].reshape(5, 2) * t).astype(np.int32)
+        ok = bool(valid[0, 0])
+        p1, p2, _, p4, p5 = pts
+        quad = np.array([p1, p2, p5, p4], np.int32)
+        return quad, float(scores[0, 0]), ok
+
+    def _crop_plate(self, canvas_bgr: np.ndarray, quad: np.ndarray):
+        """boundingRect crop + polygon mask composite (ref :264-297)."""
+        x, y, w, h = cv2.boundingRect(quad)
+        x, y = max(x, 0), max(y, 0)
+        w, h = max(w, 1), max(h, 1)
+        croped = canvas_bgr[y:y + h, x:x + w].copy()
+        pts = quad - quad.min(axis=0)
+        mask = np.zeros(croped.shape[:2], np.uint8)
+        cv2.drawContours(mask, [pts], -1, (255, 255, 255), -1, cv2.LINE_AA)
+        dst = cv2.bitwise_and(croped, croped, mask=mask)
+        return dst
+
+    def _restore_plate(self, crop_bgr256: np.ndarray) -> np.ndarray:
+        """ref restoration_plate (:349-374): NO channel swap, ±0.5 norm."""
+        x = crop_bgr256.astype(np.float32) / 255.0
+        out = self.plate_restorer(x)           # Restorer assumes RGB in
+        return out[..., ::-1]                   # undo its RGB→BGR: net saw BGR
+
+    def _restore_car(self, img_bgr: np.ndarray) -> np.ndarray:
+        """ref restoration_car (:376-401): BGR→RGB swap + ±0.5 norm."""
+        img = cv2.resize(img_bgr, (self.TARGET, self.TARGET))
+        x = img[..., ::-1].astype(np.float32) / 255.0
+        return self.car_restorer(x)             # returns BGR uint8
+
+    # -------------------------------------------------------------- main
+
+    def process(self, img_bgr: np.ndarray) -> Dict[str, np.ndarray]:
+        """Full pipeline on one BGR uint8 image. Returns all stage images
+        (montage matches the reference's 6-panel output)."""
+        t = self.TARGET
+        canvas = cv2.resize(img_bgr, (t, t),
+                            interpolation=cv2.INTER_LINEAR)
+        quad, score, ok = self._detect_quad(img_bgr)
+        quad = np.clip(quad, 0, t - 1)
+
+        crop = self._crop_plate(canvas, quad)
+        crop_padded = resize_with_padding(crop, (t, t))
+
+        plate_restored = self._restore_plate(
+            cv2.resize(crop, (t, t)) if crop.size else
+            np.zeros((t, t, 3), np.uint8))
+        car_restored = self._restore_car(img_bgr)
+
+        # perspective: restored crop (256²) → original quad (ref :304-320)
+        pst1 = np.float32([[0, 0], [t, 0], [t, t], [0, t]])
+        pst2 = quad.astype(np.float32)
+        matrix = cv2.getPerspectiveTransform(pst1, pst2)
+        crop_resized = cv2.resize(crop, (t, t)) if crop.size else \
+            np.zeros((t, t, 3), np.uint8)
+        transform = cv2.warpPerspective(crop_resized, matrix, (t, t))
+
+        # paste the warped restored plate into the restored car (ref :455-466)
+        plate_warp = cv2.warpPerspective(plate_restored, matrix, (t, t))
+        mask = np.zeros((t, t), np.uint8)
+        cv2.fillPoly(mask, [quad], 255)
+        pasted = car_restored.copy()
+        pasted[mask > 0] = plate_warp[mask > 0]
+
+        montage = cv2.hconcat([canvas, plate_restored, car_restored,
+                               crop_padded, transform, pasted])
+        return {
+            "input": canvas,
+            "quad": quad,
+            "score": score,
+            "detected": ok,
+            "crop": crop,
+            "crop_padded": crop_padded,
+            "plate_restored": plate_restored,
+            "car_restored": car_restored,
+            "transform": transform,
+            "pasted": pasted,
+            "montage": montage,
+        }

@@ -1,0 +1,100 @@
+"""Serving tests: pipeline stages + HTTP round trip over the stdlib host."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import cv2
+
+import jax.numpy as jnp
+
+from image_restoration_tpu.infer import Restorer
+from image_restoration_tpu.detect.engine import PlateDetector
+from image_restoration_tpu.serve.pipeline import (PlatePipeline,
+                                                  resize_with_padding,
+                                                  image_to_base64,
+                                                  base64_to_image)
+from image_restoration_tpu.serve.api import ServiceCore, run_server
+
+
+TINY_GFPGAN = dict(type="GFPGANv1OCR", input_width=64, input_height=64,
+                   num_style_feat=16, channel_multiplier=0.25, num_mlp=2,
+                   input_is_latent=True, different_w=True, narrow=0.5,
+                   sft_half=True)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    class TinyPipeline(PlatePipeline):
+        TARGET = 64
+
+    det = PlateDetector(backbone="Resnet18", image_size=64,
+                        score_threshold=0.0, keep_top_k=5)
+    restorer = Restorer(TINY_GFPGAN)
+    return TinyPipeline(detector=det, plate_restorer=restorer,
+                        car_restorer=restorer)
+
+
+def test_base64_roundtrip(rng):
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    back = base64_to_image(image_to_base64(img))
+    assert back.shape == img.shape
+
+
+def test_resize_with_padding(rng):
+    img = (rng.random((30, 60, 3)) * 255).astype(np.uint8)
+    out = resize_with_padding(img, (64, 64))
+    assert out.shape == (64, 64, 3)
+    # letterboxed: top/bottom black bands
+    assert out[0].sum() == 0 and out[-1].sum() == 0
+
+
+def test_pipeline_process(pipeline, rng):
+    img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    result = pipeline.process(img)
+    t = pipeline.TARGET
+    assert result["montage"].shape == (t, 6 * t, 3)
+    assert result["car_restored"].shape == (t, t, 3)
+    assert result["plate_restored"].shape == (t, t, 3)
+    assert result["quad"].shape == (4, 2)
+    assert np.isfinite(result["score"])
+
+
+def test_http_server_roundtrip(pipeline, rng):
+    core = ServiceCore(pipeline=pipeline)
+    from http.server import ThreadingHTTPServer
+    from image_restoration_tpu.serve.api import make_stdlib_handler
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_stdlib_handler(core))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = (rng.random((100, 100, 3)) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        for route, media in [("/Vehicle_Resolution_GFPGAN/", "image/png"),
+                             ("/Restore/", "image/jpeg"),
+                             ("/RestoreConcat/", "image/jpeg")]:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{route}", data=buf.tobytes(),
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"] == media
+                payload = resp.read()
+            out = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                               cv2.IMREAD_COLOR)
+            assert out is not None and out.size > 0
+        # error envelope on garbage
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/Restore/", data=b"not an image",
+            headers={"Content-Type": "application/octet-stream"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            import json
+            assert json.loads(e.read())["is_success"] is False
+    finally:
+        server.shutdown()
