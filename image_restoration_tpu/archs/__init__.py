@@ -18,9 +18,15 @@ from . import edsr_arch  # noqa: F401
 from . import rcan_arch  # noqa: F401
 from . import stylegan2_arch  # noqa: F401
 from . import gfpgan_ocr_arch  # noqa: F401
+from . import ridnet_arch  # noqa: F401
 from . import discriminator_arch  # noqa: F401
 from . import vgg_arch  # noqa: F401
 from . import retinaface_arch  # noqa: F401
+from . import spynet_arch  # noqa: F401
+from . import edvr_arch  # noqa: F401
+from . import basicvsr_arch  # noqa: F401
+from . import duf_arch  # noqa: F401
+from . import tof_arch  # noqa: F401
 
 
 def build_network(opt):

@@ -126,6 +126,7 @@ def flow_warp(x: jax.Array, flow: jax.Array,
             flat, idx.reshape(n, h * w, 1), axis=1).reshape(n, h, w, c)
         if padding_mode == "zeros":
             vals = vals * inside[..., None].astype(vals.dtype)
+        # 'border': clamped coords already replicate the edge
         return vals
 
     if interp_mode == "nearest":

@@ -137,6 +137,26 @@ def cv2_resize_matrix(in_length: int, out_length: int,
         mat[np.arange(out_length), src] = 1.0
         return mat
 
+    if interpolation == "bilinear_ac":
+        # torch align_corners=True: src = dst*(in-1)/(out-1)
+        kernel, support = _linear, 1.0
+        if out_length == 1:
+            u = np.zeros(1)
+        else:
+            u = np.arange(out_length, dtype=np.float64) * \
+                (in_length - 1) / (out_length - 1)
+        left = np.floor(u - support) + 1
+        p = int(2 * support)
+        indices = left[:, None] + np.arange(p)[None, :]
+        weights = kernel(u[:, None] - indices)
+        wsum = weights.sum(axis=1, keepdims=True)
+        weights = np.where(wsum > 0, weights / wsum, weights)
+        idx = np.clip(indices.astype(np.int64), 0, in_length - 1)
+        mat = np.zeros((out_length, in_length), dtype=np.float64)
+        for i in range(out_length):
+            np.add.at(mat[i], idx[i], weights[i])
+        return mat.astype(np.float32)
+
     if interpolation in ("bilinear", "linear", "area"):
         kernel, support = _linear, 1.0
     elif interpolation in ("bicubic", "cubic"):

@@ -1,0 +1,157 @@
+"""Video-SR family tests: deform conv vs naive numpy, SpyNet parity vs
+reference, BasicVSR/EDVR/DUF/TOF forward shape + finiteness."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import load_ref_arch
+from image_restoration_tpu.archs import build_network
+from image_restoration_tpu.convert.torch_import import convert_state_dict
+from image_restoration_tpu.ops.deform_conv import modulated_deform_conv
+
+
+def _naive_deform_conv(x, offset, mask, weight, stride=1, padding=1):
+    """Independent numpy reference (bilinear sample + dot)."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    out = np.zeros((n, ho, wo, cout), np.float64)
+
+    def sample(b, y, xx):
+        y0, x0 = int(np.floor(y)), int(np.floor(xx))
+        vals = np.zeros(cin)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy, xc = y0 + dy, x0 + dx
+                wgt = ((1 - abs(y - yy)) * (1 - abs(xx - xc)))
+                if 0 <= yy < h and 0 <= xc < w and wgt > 0:
+                    vals += wgt * x[b, yy, xc]
+        return vals
+
+    for b in range(n):
+        for i in range(ho):
+            for j in range(wo):
+                acc = np.zeros(cout)
+                for ki in range(kh):
+                    for kj in range(kw):
+                        tap = ki * kw + kj
+                        y = i * stride - padding + ki + \
+                            offset[b, i, j, 2 * tap]
+                        xx = j * stride - padding + kj + \
+                            offset[b, i, j, 2 * tap + 1]
+                        v = sample(b, y, xx) * mask[b, i, j, tap]
+                        acc += v @ weight[ki, kj]
+                out[b, i, j] = acc
+    return out
+
+
+def test_deform_conv_matches_naive(rng):
+    x = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
+    offset = (rng.standard_normal((1, 6, 7, 18)) * 0.7).astype(np.float32)
+    mask = rng.random((1, 6, 7, 9)).astype(np.float32)
+    weight = rng.standard_normal((3, 3, 4, 5)).astype(np.float32)
+    want = _naive_deform_conv(x, offset, mask, weight)
+    got = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                jnp.asarray(mask), jnp.asarray(weight))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_spynet_parity(rng):
+    ref_mod = load_ref_arch("spynet_arch")
+    tnet = ref_mod.SpyNet(load_path=None)
+    tnet.eval()
+    ref = rng.random((1, 3, 64, 64)).astype(np.float32)
+    supp = rng.random((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(ref), torch.from_numpy(supp)).numpy()
+
+    net = build_network(dict(type="SpyNet"))
+    r = jnp.asarray(ref.transpose(0, 2, 3, 1))
+    s = jnp.asarray(supp.transpose(0, 2, 3, 1))
+    variables = net.init(jax.random.PRNGKey(0), r, s)
+    rules = [(r"basic_module\.(\d+)\.basic_module\.(\d+)",
+              lambda m: f"basic_module_{m.group(1)}."
+                        f"conv{int(m.group(2)) // 2}"),
+             (r"^(mean|std)$", None)]
+    params = convert_state_dict(
+        {k: v.numpy() for k, v in tnet.state_dict().items()},
+        variables["params"], key_rules=rules)
+    got = net.apply({"params": params}, r, s)
+    # flow is (Δx, Δy) channel-last here vs (2,H,W) channel-first there
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_basicvsr_forward():
+    net = build_network(dict(type="BasicVSR", num_feat=8, num_block=1))
+    x = jnp.zeros((1, 3, 64, 64, 3))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 3, 256, 256, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edvr_forward():
+    net = build_network(dict(type="EDVR", num_feat=8, num_frame=5,
+                             deformable_groups=2, num_extract_block=1,
+                             num_reconstruct_block=1))
+    x = jnp.zeros((1, 5, 16, 16, 3))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_duf_forward():
+    net = build_network(dict(type="DUF", scale=4, num_layer=16))
+    x = jnp.zeros((1, 7, 16, 16, 3))
+    variables = jax.jit(lambda k, a: net.init(k, a, train=False))(
+        jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x, train=False)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_toflow_forward():
+    net = build_network(dict(type="TOFlow"))
+    x = jnp.zeros((1, 7, 32, 32, 3))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_ridnet_parity(rng):
+    ref_mod = load_ref_arch("ridnet_arch")
+    tnet = ref_mod.RIDNet(3, 16, 3, num_block=1)
+    tnet.eval()
+    x = rng.random((1, 3, 24, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+    net = build_network(dict(type="RIDNet", in_channels=3, mid_channels=16,
+                             out_channels=3, num_block=1))
+    xx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = net.init(jax.random.PRNGKey(0), xx)
+    rules = [
+        (r"^(sub_mean|add_mean)\..*", None),
+        (r"^body\.(\d+)\.", lambda m: f"body_{m.group(1)}."),
+        (r"merge\.dilation1\.0\.", "merge.d1_conv1."),
+        (r"merge\.dilation1\.2\.", "merge.d1_conv2."),
+        (r"merge\.dilation2\.0\.", "merge.d2_conv1."),
+        (r"merge\.dilation2\.2\.", "merge.d2_conv2."),
+        (r"merge\.aggregation\.0\.", "merge.agg."),
+        (r"block2\.body\.0\.", "block2.conv1."),
+        (r"block2\.body\.2\.", "block2.conv2."),
+        (r"block2\.body\.4\.", "block2.conv3."),
+        (r"ca\.attention\.1\.", "ca.fc1."),
+        (r"ca\.attention\.3\.", "ca.fc2."),
+    ]
+    params = convert_state_dict(
+        {k: v.numpy() for k, v in tnet.state_dict().items()},
+        variables["params"], key_rules=rules)
+    got = net.apply({"params": params}, xx)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-3, atol=1e-4)
