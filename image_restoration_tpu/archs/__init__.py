@@ -26,6 +26,9 @@ from . import spynet_arch  # noqa: F401
 from . import edvr_arch  # noqa: F401
 from . import basicvsr_arch  # noqa: F401
 from . import duf_arch  # noqa: F401
+from . import hifacegan_arch  # noqa: F401
+from . import dfdnet_arch  # noqa: F401
+from . import inception_arch  # noqa: F401
 from . import tof_arch  # noqa: F401
 
 

@@ -1,0 +1,203 @@
+"""Video SR datasets — parity with basicsr/data/{reds_dataset.py,
+vimeo90k_dataset.py,video_test_dataset.py}.
+
+Host side only (decode + crop + augment); clips are (T, H, W, 3) float32
+RGB stacked into batches by the loader.
+"""
+
+from __future__ import annotations
+
+import random
+from os import path as osp
+
+import numpy as np
+
+from ..utils.registry import DATASET_REGISTRY
+from ..utils.file_client import FileClient
+from ..utils.img_util import imfrombytes
+from ..utils.misc import scandir
+from .transforms import augment, paired_random_crop
+
+
+@DATASET_REGISTRY.register()
+class REDSDataset:
+    """REDS training clips (ref reds_dataset.py:14-210).
+
+    Folder layout <root>/<clip>/<frame:08d>.png for gt and lq.
+    """
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 5)
+        self.num_half = self.num_frame // 2
+        self.client = FileClient("disk")
+        if opt.get("meta_info_file"):
+            with open(opt["meta_info_file"]) as f:
+                self.keys = []
+                for line in f:
+                    clip, num = line.strip().split(" ")[:2]
+                    self.keys.extend(f"{clip}/{i:08d}"
+                                     for i in range(int(num)))
+        else:
+            clips = sorted(scandir(self.gt_root, recursive=False)) or []
+            import os
+            clips = [d for d in os.listdir(self.gt_root)
+                     if osp.isdir(osp.join(self.gt_root, d))]
+            self.keys = []
+            for clip in sorted(clips):
+                frames = sorted(scandir(osp.join(self.gt_root, clip)))
+                self.keys.extend(f"{clip}/{osp.splitext(f)[0]}"
+                                 for f in frames)
+        # the reference excludes REDS4 validation clips (:72-76)
+        val_partition = opt.get("val_partition", ["000", "011", "015",
+                                                  "020"])
+        self.keys = [k for k in self.keys
+                     if k.split("/")[0] not in val_partition]
+        self.interval_list = opt.get("interval_list", [1])
+        self.random_reverse = opt.get("random_reverse", False)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        import cv2
+        scale = self.opt.get("scale", 4)
+        gt_size = self.opt.get("gt_size", 256)
+        key = self.keys[index]
+        clip_name, frame_name = key.split("/")
+        center = int(frame_name)
+        interval = random.choice(self.interval_list)
+
+        # temporally valid window (ref :118-135)
+        start = center - self.num_half * interval
+        end = center + self.num_half * interval
+        max_frame = 99  # REDS clips have 100 frames
+        while start < 0 or end > max_frame:
+            center = random.randint(self.num_half * interval,
+                                    max_frame - self.num_half * interval)
+            start = center - self.num_half * interval
+            end = center + self.num_half * interval
+        neighbors = list(range(start, end + 1, interval))
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+
+        lqs, gts = [], []
+        for i in neighbors:
+            lq = imfrombytes(self.client.get(
+                osp.join(self.lq_root, clip_name, f"{i:08d}.png")),
+                float32=True)
+            lqs.append(lq)
+        gt = imfrombytes(self.client.get(
+            osp.join(self.gt_root, clip_name, f"{center:08d}.png")),
+            float32=True)
+        gt, lqs = paired_random_crop(gt, lqs, gt_size, scale)
+        out = augment(lqs + [gt], self.opt.get("use_hflip", True),
+                      self.opt.get("use_rot", True))
+        lqs, gt = out[:-1], out[-1]
+        return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
+                "gt": gt[..., ::-1].copy(), "key": key}
+
+
+@DATASET_REGISTRY.register()
+class REDSRecurrentDataset(REDSDataset):
+    """Returns matched gt/lq clips for recurrent models (BasicVSR)."""
+
+    def __getitem__(self, index):
+        import cv2
+        scale = self.opt.get("scale", 4)
+        gt_size = self.opt.get("gt_size", 256)
+        key = self.keys[index]
+        clip_name, frame_name = key.split("/")
+        start = int(frame_name)
+        if start > 100 - self.num_frame:
+            start = random.randint(0, 100 - self.num_frame)
+        frames = list(range(start, start + self.num_frame))
+        lqs, gts = [], []
+        for i in frames:
+            lqs.append(imfrombytes(self.client.get(
+                osp.join(self.lq_root, clip_name, f"{i:08d}.png")),
+                float32=True))
+            gts.append(imfrombytes(self.client.get(
+                osp.join(self.gt_root, clip_name, f"{i:08d}.png")),
+                float32=True))
+        gts, lqs = paired_random_crop(gts, lqs, gt_size, scale)
+        out = augment(lqs + gts, self.opt.get("use_hflip", True),
+                      self.opt.get("use_rot", True))
+        t = self.num_frame
+        return {"lq": np.stack([f[..., ::-1] for f in out[:t]]).copy(),
+                "gt": np.stack([f[..., ::-1] for f in out[t:]]).copy(),
+                "key": key}
+
+
+@DATASET_REGISTRY.register()
+class Vimeo90KDataset:
+    """Vimeo-90K septuplets (ref vimeo90k_dataset.py:12-127)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        with open(opt["meta_info_file"]) as f:
+            self.keys = [line.strip().split(" ")[0] for line in f]
+        self.client = FileClient("disk")
+        self.neighbor_list = [i + (9 - opt.get("num_frame", 7)) // 2
+                              for i in range(opt.get("num_frame", 7))]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        scale = self.opt.get("scale", 4)
+        gt_size = self.opt.get("gt_size", 256)
+        key = self.keys[index]
+        gt = imfrombytes(self.client.get(
+            osp.join(self.gt_root, key, "im4.png")), float32=True)
+        lqs = [imfrombytes(self.client.get(
+            osp.join(self.lq_root, key, f"im{i}.png")), float32=True)
+            for i in self.neighbor_list]
+        gt, lqs = paired_random_crop(gt, lqs, gt_size, scale)
+        out = augment(lqs + [gt], self.opt.get("use_hflip", True),
+                      self.opt.get("use_rot", True))
+        return {"lq": np.stack([f[..., ::-1] for f in out[:-1]]).copy(),
+                "gt": out[-1][..., ::-1].copy(), "key": key}
+
+
+@DATASET_REGISTRY.register()
+class VideoTestDataset:
+    """Per-folder video eval (ref video_test_dataset.py:12-130): sliding
+    window of num_frame LQ frames per GT frame."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 5)
+        self.client = FileClient("disk")
+        import os
+        self.folders = sorted(d for d in os.listdir(self.lq_root)
+                              if osp.isdir(osp.join(self.lq_root, d)))
+        self.items = []
+        for folder in self.folders:
+            frames = sorted(scandir(osp.join(self.lq_root, folder)))
+            for i in range(len(frames)):
+                self.items.append((folder, i, len(frames)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def _frame(self, root, folder, idx):
+        frames = sorted(scandir(osp.join(root, folder)))
+        return imfrombytes(self.client.get(
+            osp.join(root, folder, frames[idx])), float32=True)
+
+    def __getitem__(self, index):
+        folder, i, total = self.items[index]
+        half = self.num_frame // 2
+        idxs = [min(max(j, 0), total - 1)
+                for j in range(i - half, i + half + 1)]
+        lqs = [self._frame(self.lq_root, folder, j) for j in idxs]
+        gt = self._frame(self.gt_root, folder, i)
+        return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
+                "gt": gt[..., ::-1].copy(), "folder": folder, "idx": i}

@@ -12,6 +12,8 @@ def build_model(opt):
     from . import esrgan_model  # noqa: F401
     from . import gfpgan_model  # noqa: F401
     from . import stylegan2_model  # noqa: F401
+    from . import video_models  # noqa: F401
+    from . import hifacegan_model  # noqa: F401
     opt = deepcopy(opt)
     model = MODEL_REGISTRY.get(opt["model_type"])(opt)
     get_root_logger().info(
