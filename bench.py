@@ -60,28 +60,45 @@ def main():
     size = TILE + 2 * HALO  # halo-padded tile as served by tiled_apply
     log(f"devices: {jax.devices()}")
 
-    # ---- headline: SRVGG realesr-general x4, bf16, batched tiles
-    net = build_network(dict(type="SRVGGNetCompact", num_feat=64, num_conv=32,
-                             upscale=4, dtype=jnp.bfloat16))
+    # ---- headline: SRVGG realesr-general x4, bf16, batched tiles.
+    #
+    # Perf notes (measured on this chip):
+    #  * conv 64→64 fills only half the 128-lane MXU → ~68 TFLOP/s cap;
+    #    dense C=128 convs sustain ~171 TFLOP/s (87% of bf16 peak)
+    #  * 2×2 space-to-depth (full 256-ch shapes) loses: 4× FLOP overhead
+    #  * grouped conv (feature_group_count=2) lowers poorly (~31 TFLOP/s)
+    #  * channel-PACKING two tiles with block-diagonal weights is exact and
+    #    measured ~1.3× (ops/packed_inference.py) → the headline path
+    NUM_CONV = 32
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=64,
+                             num_conv=NUM_CONV, upscale=4,
+                             dtype=jnp.bfloat16))
+    from image_restoration_tpu.ops.packed_inference import (
+        pack_srvgg_params, packed_srvgg_forward)
 
-    def apply_fn(p, x):
+    x1 = jnp.asarray(rng.random((1, size, size, 3), np.float32),
+                     jnp.bfloat16)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x1)
+    packed = pack_srvgg_params(variables["params"], NUM_CONV)
+
+    def apply_plain(p, x):
         return net.apply({"params": p}, x)
 
-    # Perf note: conv 64→64 uses at most half the 128-lane MXU (output
-    # channels = 64), capping useful throughput near ~98 TFLOP/s on v5e.
-    # A 2×2 space-to-depth rewrite (full 256-channel MXU shapes) was
-    # measured SLOWER (4× FLOP overhead > utilization gain). Larger tile
-    # batches amortize further — bs=8 measured best.
-    best, best_bs = 0.0, 1
-    for bs in (4, 8):
-        x = jnp.asarray(rng.random((bs, size, size, 3), np.float32),
-                        jnp.bfloat16)
-        variables = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
-        ms = onchip_ms(apply_fn, variables["params"], x)
-        tps = bs / (ms / 1e3)
-        log(f"SRVGG x4 {size}² bf16 bs={bs}: {ms:.2f} ms → {tps:.1f} tiles/s")
-        if tps > best:
-            best, best_bs = tps, bs
+    def apply_packed(p, x):
+        return packed_srvgg_forward(p, x, NUM_CONV, 4)
+
+    best, best_bs, best_mode = 0.0, 1, "plain"
+    for mode, apply_fn, p in (("plain", apply_plain, variables["params"]),
+                              ("packed2", apply_packed, packed)):
+        for bs in (8,):
+            x = jnp.asarray(rng.random((bs, size, size, 3), np.float32),
+                            jnp.bfloat16)
+            ms = onchip_ms(apply_fn, p, x)
+            tps = bs / (ms / 1e3)
+            log(f"SRVGG x4 {size}² bf16 {mode} bs={bs}: {ms:.2f} ms → "
+                f"{tps:.1f} tiles/s")
+            if tps > best:
+                best, best_bs, best_mode = tps, bs, mode
 
     # ---- diagnostics
     try:
@@ -119,7 +136,7 @@ def main():
 
     result = {
         "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
-                  f"(bf16, bs={best_bs}, on-chip)",
+                  f"(bf16, bs={best_bs}, {best_mode}, on-chip)",
         "value": round(best, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),

@@ -1,0 +1,23 @@
+"""Channel-packed SRVGG fast path must match the plain forward exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.archs import build_network
+from image_restoration_tpu.ops.packed_inference import (pack_srvgg_params,
+                                                        packed_srvgg_forward)
+
+
+def test_packed_srvgg_matches_plain(rng):
+    num_conv, upscale = 4, 2
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=16,
+                             num_conv=num_conv, upscale=upscale))
+    x = jnp.asarray(rng.random((4, 12, 10, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    plain = np.asarray(net.apply(variables, x))
+
+    packed = pack_srvgg_params(variables["params"], num_conv,
+                               dtype=jnp.float32)
+    got = np.asarray(packed_srvgg_forward(packed, x, num_conv, upscale))
+    np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5)
