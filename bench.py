@@ -37,20 +37,25 @@ def log(msg):
 
 
 def onchip_ms(apply_fn, params, x, iters=ITERS):
-    """ms per forward, measured as an on-chip scan with data dependency."""
+    """ms per forward, measured as an on-chip scan with data dependency.
 
-    def step(carry, _):
-        y = apply_fn(params, x + carry)
-        return jnp.mean(y).astype(x.dtype), None
+    params/x are jit ARGUMENTS (not closure constants) — the axon remote
+    compiler rejects requests with hundreds of MB of inline constants.
+    """
 
     @jax.jit
-    def loop():
-        c, _ = jax.lax.scan(step, jnp.zeros((), x.dtype), None, length=iters)
+    def loop(params, x):
+        def step(carry, _):
+            y = apply_fn(params, x + carry)
+            return jnp.mean(y).astype(x.dtype), None
+
+        c, _ = jax.lax.scan(step, jnp.zeros((), x.dtype), None,
+                            length=iters)
         return c
 
-    float(loop())  # compile + first run
+    float(loop(params, x))  # compile + first run
     t0 = time.perf_counter()
-    s = float(loop())
+    s = float(loop(params, x))
     assert np.isfinite(s)
     return (time.perf_counter() - t0) / iters * 1e3
 
@@ -101,6 +106,9 @@ def main():
                 best, best_bs, best_mode = tps, bs, mode
 
     # ---- diagnostics
+    # (packed-g RRDBNet exists in ops/packed_inference.py and is exact, but
+    # its 345-conv packed graph exceeds the axon remote-compile budget at
+    # 544²; the diagnostic measures the plain forward.)
     try:
         rrdb = build_network(dict(type="RRDBNet", scale=4, num_feat=64,
                                   num_block=23, dtype=jnp.bfloat16))

@@ -23,13 +23,29 @@ import jax.numpy as jnp
 from .pixel_ops import pixel_shuffle
 
 
-def _block_diag2(w: jax.Array) -> jax.Array:
-    """(kh,kw,I,O) → (kh,kw,2I,2O) block-diagonal."""
+def _block_diag(w: jax.Array, g: int) -> jax.Array:
+    """(kh,kw,I,O) → (kh,kw,gI,gO) block-diagonal with g copies."""
     kh, kw, i, o = w.shape
-    z = jnp.zeros((kh, kw, i, o), w.dtype)
-    top = jnp.concatenate([w, z], axis=3)
-    bot = jnp.concatenate([z, w], axis=3)
-    return jnp.concatenate([top, bot], axis=2)
+    out = jnp.zeros((kh, kw, g * i, g * o), w.dtype)
+    for k in range(g):
+        out = out.at[:, :, k * i:(k + 1) * i, k * o:(k + 1) * o].set(w)
+    return out
+
+
+def _block_diag2(w: jax.Array) -> jax.Array:
+    return _block_diag(w, 2)
+
+
+def pack_batch(x: jax.Array, g: int) -> jax.Array:
+    """(N,H,W,C) → (N/g,H,W,gC): ride g batch entries on the channel axis."""
+    n = x.shape[0]
+    return jnp.concatenate([x[i * n // g:(i + 1) * n // g]
+                            for i in range(g)], axis=-1)
+
+
+def unpack_batch(x: jax.Array, g: int, c: int) -> jax.Array:
+    return jnp.concatenate([x[..., i * c:(i + 1) * c] for i in range(g)],
+                           axis=0)
 
 
 def pack_srvgg_params(params: Dict, num_conv: int,
@@ -78,3 +94,93 @@ def packed_srvgg_forward(packed: Dict, x: jax.Array, num_conv: int,
     base = jnp.broadcast_to(x[:, :, None, :, None, :],
                             (n, h, r, w, r, c)).reshape(n, h * r, w * r, c)
     return out + base.astype(out.dtype)
+
+
+# ------------------------------------------------------------- RRDBNet
+
+
+def pack_rrdbnet_params(params: Dict, num_block: int, g: int = 4,
+                        dtype=jnp.bfloat16) -> Dict:
+    """Pack RRDBNet (ESRGAN) weights g-way.
+
+    RRDB growth convs output only 32 channels — ~8 TFLOP/s under XLA on
+    v5e; g=4 packing gives them 128 output channels.
+    """
+    packed = {}
+
+    def bd(layer_params):
+        return (_block_diag(layer_params["kernel"].astype(dtype), g),
+                jnp.tile(layer_params["bias"].astype(dtype), g))
+
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+                 "conv_hr", "conv_last"):
+        packed[name] = bd(params[name])
+    for bi in range(num_block):
+        blk = params[f"body_{bi}"]
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            for ci in range(1, 6):
+                packed[f"body_{bi}.{rdb}.conv{ci}"] = \
+                    bd(blk[rdb][f"conv{ci}"])
+    return packed
+
+
+def packed_rrdbnet_forward(packed: Dict, x: jax.Array, num_block: int,
+                           scale: int = 4, g: int = 4) -> jax.Array:
+    """Exact RRDBNet forward (archs/rrdbnet_arch.py) with g-packed tiles.
+
+    Only the ×4 head is implemented (the ×1/×2 pixel_unshuffle input path
+    uses the plain forward). `g` must match pack_rrdbnet_params and is a
+    STATIC python int (not stored in the params pytree).
+    """
+    assert scale == 4, "packed RRDBNet supports the x4 head"
+    n, h, w, c = x.shape
+    assert n % g == 0, f"batch {n} must divide by pack factor {g}"
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(t, name):
+        wgt, b = packed[name]
+        return jax.lax.conv_general_dilated(
+            t, wgt, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    def lrelu(t):
+        return jnp.where(t >= 0, t, 0.2 * t)
+
+    hp = pack_batch(x, g).astype(packed["conv_first"][0].dtype)
+    feat = conv(hp, "conv_first")
+    body = feat
+    nf = feat.shape[-1] // g  # 64
+
+    def cat(parts):
+        # concat per packed group so block-diag weights line up
+        chunks = []
+        for k in range(g):
+            for p, pc in parts:
+                chunks.append(p[..., k * pc:(k + 1) * pc])
+        return jnp.concatenate(chunks, axis=-1)
+
+    for bi in range(num_block):
+        rin = body
+        t = body
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            feats = [(t, nf)]
+            for ci in range(1, 5):
+                xcat = cat(feats) if len(feats) > 1 else t
+                y = lrelu(conv(xcat, f"body_{bi}.{rdb}.conv{ci}"))
+                feats.append((y, y.shape[-1] // g))
+            y5 = conv(cat(feats), f"body_{bi}.{rdb}.conv5")
+            t = y5 * 0.2 + t
+        body = t * 0.2 + rin
+    body = conv(body, "conv_body")
+    feat = feat + body
+
+    def up2(t):
+        nn_, hh, ww, cc = t.shape
+        t = jnp.broadcast_to(t[:, :, None, :, None, :],
+                             (nn_, hh, 2, ww, 2, cc))
+        return t.reshape(nn_, hh * 2, ww * 2, cc)
+
+    feat = lrelu(conv(up2(feat), "conv_up1"))
+    feat = lrelu(conv(up2(feat), "conv_up2"))
+    feat = lrelu(conv(feat, "conv_hr"))
+    out = conv(feat, "conv_last")
+    return unpack_batch(out, g, 3)

@@ -21,3 +21,18 @@ def test_packed_srvgg_matches_plain(rng):
                                dtype=jnp.float32)
     got = np.asarray(packed_srvgg_forward(packed, x, num_conv, upscale))
     np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_rrdbnet_matches_plain(rng):
+    from image_restoration_tpu.ops.packed_inference import (
+        pack_rrdbnet_params, packed_rrdbnet_forward)
+    num_block = 2
+    net = build_network(dict(type="RRDBNet", scale=4, num_feat=16,
+                             num_block=num_block, num_grow_ch=8))
+    x = jnp.asarray(rng.random((4, 10, 12, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    plain = np.asarray(net.apply(variables, x))
+    packed = pack_rrdbnet_params(variables["params"], num_block, g=4,
+                                 dtype=jnp.float32)
+    got = np.asarray(packed_rrdbnet_forward(packed, x, num_block, 4, g=4))
+    np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5)
