@@ -143,6 +143,60 @@ RealSRDegradationDataset = DATASET_REGISTRY.register(
 
 
 @DATASET_REGISTRY.register()
+class OCRDegradationDataset(FFHQDegradationDataset):
+    """FFHQ pipeline + aspect-preserving pad + random occlusion masks.
+
+    Ref basicsr/data/ocr_degradation_dataset.py:19-293 (`pad_input`
+    :214-223, mask suite :92-183). The masks run on-device: the pipeline
+    returned by device_pipeline() chains the FFHQ degradation with
+    apply_random_mask.
+    """
+
+    def __getitem__(self, index: int):
+        import cv2
+        path = self.paths[index]
+        img = imfrombytes(self.client.get(path), float32=True)  # BGR
+        if self.opt.get("pad_input", True):
+            # aspect-preserving resize + center pad to (W,H) (ref :214-223)
+            h, w = img.shape[:2]
+            scale = min(self.input_width / w, self.input_height / h)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            resized = cv2.resize(img, (nw, nh),
+                                 interpolation=cv2.INTER_LINEAR)
+            canvas = np.ones((self.input_height, self.input_width, 3),
+                             np.float32)
+            y0 = (self.input_height - nh) // 2
+            x0 = (self.input_width - nw) // 2
+            canvas[y0:y0 + nh, x0:x0 + nw] = resized
+            img = canvas
+        else:
+            img = cv2.resize(img, (self.input_width, self.input_height),
+                             interpolation=cv2.INTER_LINEAR)
+        return {"gt": img[..., ::-1].copy(), "gt_path": path}
+
+    def device_pipeline(self):
+        import jax
+        import jax.numpy as jnp
+        from .masks import build_irregular_mask_bank, apply_random_mask
+        base = super().device_pipeline()
+        if not self.opt.get("random_mask", False):
+            return base
+        bank = jnp.asarray(build_irregular_mask_bank(self.input_height))
+        mask_prob = self.opt.get("mask_prob", 0.5)
+        mean = jnp.asarray(self.mean, jnp.float32)
+        std = jnp.asarray(self.std, jnp.float32)
+        white = float(((1.0 - mean) / std)[0])  # fill in normalized space
+
+        def degrade(key, gt):
+            k1, k2 = jax.random.split(key)
+            lq, gt_n = base(k1, gt)
+            lq, _ = apply_random_mask(k2, lq, bank, mask_prob, fill=white)
+            return lq, gt_n
+
+        return degrade
+
+
+@DATASET_REGISTRY.register()
 class PairedImageDataset(_BaseDataset):
     """LQ/GT pairs from folders or a meta_info file."""
 
