@@ -86,24 +86,58 @@ def main():
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), x1)
     packed = pack_srvgg_params(variables["params"], NUM_CONV)
 
-    def apply_plain(p, x):
-        return net.apply({"params": p}, x)
-
     def apply_packed(p, x):
         return packed_srvgg_forward(p, x, NUM_CONV, 4)
 
+    # int8 PTQ mode (the TPU analog of the reference's reduced-precision
+    # TensorRT serving, Plate_Detect/docs/TRT.md): per-out-channel weight
+    # scales + calibrated per-layer activation scales, composed with the
+    # channel packing. Quality vs bf16 is logged below.
+    from image_restoration_tpu.ops.quantized_inference import (
+        calibrate_srvgg_act_scales, quantize_srvgg_params,
+        quantized_srvgg_forward)
+    calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
+    scales = jax.device_get(jax.jit(
+        lambda p, x: calibrate_srvgg_act_scales(p, x, NUM_CONV))(
+        jax.tree.map(lambda a: a.astype(jnp.float32),
+                     variables["params"]), calib))
+    qparams = quantize_srvgg_params(
+        jax.device_get(variables["params"]), [float(s) for s in scales],
+        NUM_CONV, pack=2)
+
+    def apply_int8(p, x):
+        return quantized_srvgg_forward(p, x.astype(jnp.float32), NUM_CONV,
+                                       4, pack=2)
+
     best, best_bs, best_mode = 0.0, 1, "plain"
-    for mode, apply_fn, p in (("plain", apply_plain, variables["params"]),
-                              ("packed2", apply_packed, packed)):
+    for mode, apply_fn, p in (("packed2-bf16", apply_packed, packed),
+                              ("packed2-int8", apply_int8, qparams)):
         for bs in (8,):
             x = jnp.asarray(rng.random((bs, size, size, 3), np.float32),
                             jnp.bfloat16)
-            ms = onchip_ms(apply_fn, p, x)
+            try:
+                ms = onchip_ms(apply_fn, p, x)
+            except Exception as e:
+                log(f"SRVGG {mode} failed: {e}")
+                continue
             tps = bs / (ms / 1e3)
-            log(f"SRVGG x4 {size}² bf16 {mode} bs={bs}: {ms:.2f} ms → "
+            log(f"SRVGG x4 {size}² {mode} bs={bs}: {ms:.2f} ms → "
                 f"{tps:.1f} tiles/s")
             if tps > best:
                 best, best_bs, best_mode = tps, bs, mode
+
+    # int8 quality vs bf16 on one tile batch (smaller size: avoid big fetch)
+    try:
+        xs = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
+        ref_out = np.asarray(jax.jit(apply_packed)(
+            packed, xs.astype(jnp.bfloat16))).astype(np.float32)
+        q_out = np.asarray(jax.jit(apply_int8)(qparams, xs))
+        mse = float(np.mean((ref_out - q_out) ** 2))
+        span = float(ref_out.max() - ref_out.min()) or 1.0
+        log(f"int8 PTQ vs bf16 PSNR: "
+            f"{10 * np.log10(span ** 2 / max(mse, 1e-12)):.1f} dB")
+    except Exception as e:
+        log(f"int8 quality check failed: {e}")
 
     # ---- diagnostics
     # (packed-g RRDBNet exists in ops/packed_inference.py and is exact, but
@@ -144,7 +178,7 @@ def main():
 
     result = {
         "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
-                  f"(bf16, bs={best_bs}, {best_mode}, on-chip)",
+                  f"(bs={best_bs}, {best_mode}, on-chip)",
         "value": round(best, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),

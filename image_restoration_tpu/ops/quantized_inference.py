@@ -1,0 +1,112 @@
+"""int8 post-training-quantized serving path (SRVGG).
+
+The reference serves through TensorRT with reduced precision
+(Plate_Detect/docs/TRT.md: fp16 engines; TRT int8 is the standard
+production step). The TPU analog: v5e's int8 MXU path measures ~283 TOPS
+vs ~171 TFLOP/s bf16 on this chip. This module implements calibrated
+symmetric PTQ for SRVGGNetCompact, composed with the block-diagonal channel
+packing (ops/packed_inference.py):
+
+  * weights: per-OUTPUT-CHANNEL symmetric int8 scales
+  * activations: per-LAYER symmetric scales from a calibration batch
+  * accumulation in int32; requantization fused into the PReLU epilogue
+    (one f32 VPU pass per layer)
+
+Quality: PSNR(int8, bf16) is reported by the bench; typical PTQ cost for
+compact SR nets is a few tenths of a dB.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pixel_ops import pixel_shuffle
+from .packed_inference import _block_diag
+
+
+def calibrate_srvgg_act_scales(params: Dict, x: jax.Array,
+                               num_conv: int) -> List[float]:
+    """Per-layer |activation| maxima from a calibration batch (plain fp32
+    forward, host side). Returns num_conv+2 input scales (one per conv)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    scales = []
+    h = x
+    for i in range(num_conv + 1):
+        scales.append(jnp.max(jnp.abs(h)))
+        layer = params[f"body_{i}"]
+        h = jax.lax.conv_general_dilated(
+            h, layer["kernel"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn) + layer["bias"]
+        alpha = params[f"prelu_{i}"]
+        h = jnp.where(h >= 0, h, h * alpha)
+    scales.append(jnp.max(jnp.abs(h)))
+    return jnp.stack(scales)  # jit-friendly; callers floatify
+
+
+def quantize_srvgg_params(params: Dict, act_scales: List[float],
+                          num_conv: int, pack: int = 2) -> Dict:
+    """int8 weights (per-out-channel) + f32 requant vectors, packed
+    `pack`-way block-diagonally."""
+    q: Dict = {}
+
+    def quant_layer(kernel, bias, s_in, idx_name):
+        w = np.asarray(kernel, np.float32)
+        w_scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0 + 1e-12  # per out-ch
+        w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+        wq = _block_diag(jnp.asarray(w_q), pack)
+        # dequant factor: acc_int32 * (s_in/127 * w_scale) + bias
+        deq = (s_in / 127.0) * w_scale
+        q[f"w_{idx_name}"] = wq
+        q[f"deq_{idx_name}"] = jnp.tile(jnp.asarray(deq, jnp.float32), pack)
+        q[f"b_{idx_name}"] = jnp.tile(
+            jnp.asarray(np.asarray(bias, np.float32)), pack)
+
+    for i in range(num_conv + 1):
+        layer = params[f"body_{i}"]
+        quant_layer(layer["kernel"], layer["bias"], act_scales[i], str(i))
+        q[f"a_{i}"] = jnp.tile(
+            jnp.asarray(np.asarray(params[f"prelu_{i}"], np.float32)), pack)
+        q[f"s_out_{i}"] = jnp.float32(act_scales[i + 1])
+    quant_layer(params["conv_last"]["kernel"], params["conv_last"]["bias"],
+                act_scales[num_conv + 1], "last")
+    q["s_in_0"] = jnp.float32(act_scales[0])
+    return q
+
+
+def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
+                            upscale: int = 4, pack: int = 2) -> jax.Array:
+    """x: (N,H,W,3) float [0,1], N divisible by `pack` → float output."""
+    n, h, w, c = x.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+    hp = jnp.concatenate([x[i * n // pack:(i + 1) * n // pack]
+                          for i in range(pack)], axis=-1)
+
+    def to_int8(t, scale):
+        return jnp.clip(jnp.round(t * (127.0 / scale)), -127,
+                        127).astype(jnp.int8)
+
+    hq = to_int8(hp, q["s_in_0"])
+    for i in range(num_conv + 1):
+        acc = jax.lax.conv_general_dilated(
+            hq, q[f"w_{i}"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        hf = acc.astype(jnp.float32) * q[f"deq_{i}"] + q[f"b_{i}"]
+        hf = jnp.where(hf >= 0, hf, hf * q[f"a_{i}"])
+        hq = to_int8(hf, q[f"s_out_{i}"])
+    acc = jax.lax.conv_general_dilated(
+        hq, q["w_last"], (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * q["deq_last"] + q["b_last"]
+
+    oc = 3 * upscale ** 2
+    out = jnp.concatenate([out[..., i * oc:(i + 1) * oc]
+                           for i in range(pack)], axis=0)
+    out = pixel_shuffle(out, upscale)
+    r = upscale
+    base = jnp.broadcast_to(x[:, :, None, :, None, :],
+                            (n, h, r, w, r, c)).reshape(n, h * r, w * r, c)
+    return out + base
