@@ -18,6 +18,7 @@ from . import edsr_arch  # noqa: F401
 from . import rcan_arch  # noqa: F401
 from . import stylegan2_arch  # noqa: F401
 from . import gfpgan_ocr_arch  # noqa: F401
+from . import gfpganv1_arch  # noqa: F401
 from . import ridnet_arch  # noqa: F401
 from . import discriminator_arch  # noqa: F401
 from . import vgg_arch  # noqa: F401
