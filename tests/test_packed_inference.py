@@ -36,3 +36,26 @@ def test_packed_rrdbnet_matches_plain(rng):
                                  dtype=jnp.float32)
     got = np.asarray(packed_rrdbnet_forward(packed, x, num_block, 4, g=4))
     np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_int8_conv_matches_xla(rng):
+    from image_restoration_tpu.ops.pallas.int8_conv import (
+        int8_conv3x3_requant)
+    h, w, c = 16, 16, 128
+    xp = jnp.asarray(rng.integers(-127, 127, (h + 2, w + 2, c)), jnp.int8)
+    wt = jnp.asarray(rng.integers(-127, 127, (3, 3, c, c)), jnp.int8)
+    deq = jnp.asarray(rng.random(c) * 1e-3, jnp.float32)
+    b = jnp.asarray(rng.random(c) * 1e-2, jnp.float32)
+    a = jnp.asarray(np.full(c, 0.25), jnp.float32)
+    so = jnp.asarray(1.0, jnp.float32)
+
+    got = int8_conv3x3_requant(xp, wt, deq, b, a, so, bh=8, interpret=True)
+
+    acc = jax.lax.conv_general_dilated(
+        xp[None], wt, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)[0]
+    hf = acc.astype(jnp.float32) * deq + b
+    hf = jnp.where(hf >= 0, hf, hf * a)
+    want = jnp.clip(jnp.round(hf * (127.0 / so)), -127, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
