@@ -68,6 +68,10 @@ def train_pipeline(root_path: str | None = None, argv=None):
     opt, args = parse_options(root_path, is_train=True, argv=argv)
     set_random_seed(opt["manual_seed"] + jax.process_index())
 
+    if opt.get("debug_nans"):  # opt-in anomaly detection (SURVEY §5)
+        from .utils.debug import enable_nan_checks
+        enable_nan_checks(True)
+
     resume_state_path = load_resume_state(opt)
     if resume_state_path is None and jax.process_index() == 0:
         make_exp_dirs(opt)
