@@ -134,11 +134,19 @@ class SRModel(BaseModel):
 
     def validation(self, dataloader, current_iter: int, tb_logger=None,
                    save_img: bool = False):
-        """Nondist validation loop (ref sr_model.py:135-184)."""
+        """Validation loop (ref sr_model.py:135-184).
+
+        Multi-host: batches are rank-strided so each host evaluates a
+        disjoint shard (the reference's video-model dist_validation policy,
+        SURVEY §2.9); per-host means are psum-averaged at the end.
+        """
+        rank, world = jax.process_index(), jax.process_count()
         metrics_opt = (self.opt.get("val", {}) or {}).get("metrics", {})
         results = {name: [] for name in metrics_opt}
         min_max = self.opt.get("val", {}).get("min_max", (0, 1))
-        for batch in dataloader:
+        for bi, batch in enumerate(dataloader):
+            if world > 1 and bi % world != rank:
+                continue
             if "lq" in batch:
                 lq = batch["lq"]
             else:
@@ -160,6 +168,18 @@ class SRModel(BaseModel):
                                f"{name}_{current_iter}.png")
                 imwrite(sr_img, dst)
         avg = {k: float(np.mean(v)) for k, v in results.items() if v}
+        if world > 1:
+            # average per-host shard means across processes
+            from jax.experimental import multihost_utils
+            vals = jnp.asarray([avg.get(k, 0.0) for k in metrics_opt])
+            counts = jnp.asarray([float(bool(results.get(k)))
+                                  for k in metrics_opt])
+            summed = multihost_utils.process_allgather(
+                jnp.stack([vals, counts]))
+            tot = summed[:, 0].sum(0)
+            cnt = jnp.maximum(summed[:, 1].sum(0), 1.0)
+            avg = {k: float(tot[i] / cnt[i])
+                   for i, k in enumerate(metrics_opt)}
         for name, val in avg.items():
             self.logger.info(f"Validation {name}: {val:.4f}")
             if tb_logger is not None:
