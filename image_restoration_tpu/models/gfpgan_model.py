@@ -121,10 +121,19 @@ class GFPGANModel(SRModel):
         def d_apply(pd, x):
             return net_d.apply({"params": pd}, x)
 
+        remat = (self.opt.get("train", {}) or {}).get("remat", False)
+
+        def g_forward(pg, lq, noise_rng):
+            return net_g.apply({"params": pg}, lq, return_rgb=True,
+                               rngs={"noise": noise_rng})
+
+        if remat:
+            # rematerialize the G forward in backward: trades FLOPs for HBM
+            # (jax.checkpoint — the reference has no equivalent knob)
+            g_forward = jax.checkpoint(g_forward)
+
         def g_loss(pg, pd, lq, gt, noise_rng, pyr_w, use_gan_losses):
-            output, out_rgbs = net_g.apply(
-                {"params": pg}, lq, return_rgb=True,
-                rngs={"noise": noise_rng})
+            output, out_rgbs = g_forward(pg, lq, noise_rng)
             total = 0.0
             losses = {}
             if self.cri_pix is not None:
