@@ -139,7 +139,18 @@ def main():
     except Exception as e:
         log(f"int8 quality check failed: {e}")
 
-    # ---- diagnostics
+    result = {
+        "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
+                  f"(bs={best_bs}, {best_mode}, on-chip)",
+        "value": round(best, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+    # ---- diagnostics (after the headline JSON: a timeout here must
+    # not lose the result)
     # (packed-g RRDBNet exists in ops/packed_inference.py and is exact, but
     # its 345-conv packed graph exceeds the axon remote-compile budget at
     # 544²; the diagnostic measures the plain forward.)
@@ -176,14 +187,6 @@ def main():
     except Exception as e:
         log(f"GFPGAN diag failed: {e}")
 
-    result = {
-        "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
-                  f"(bs={best_bs}, {best_mode}, on-chip)",
-        "value": round(best, 2),
-        "unit": "tiles/sec/chip",
-        "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
-    }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
