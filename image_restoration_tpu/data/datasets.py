@@ -65,6 +65,29 @@ class FFHQDegradationDataset(_BaseDataset):
         self.input_height = opt.get("input_height", 256)
         self.mean = opt.get("mean", (0.5, 0.5, 0.5))
         self.std = opt.get("std", (0.5, 0.5, 0.5))
+        # per-char component bboxes for the component-D training path
+        # (ref ffhq_degradation_dataset.py:34-38,209-219: a torch .pth dict
+        # keyed '%08d' with 'char_0'..'char_9' 4-vectors; we also accept an
+        # .npz with an (N, 10, 4) 'boxes' array)
+        self.crop_components = opt.get("crop_components", False)
+        if self.crop_components:
+            comp_path = opt["component_path"]
+            if comp_path.endswith(".npz"):
+                import numpy as np
+                self.components_list = np.load(comp_path)["boxes"]
+            else:
+                import torch
+                self.components_list = torch.load(comp_path,
+                                                  map_location="cpu")
+
+    def _component_boxes(self, index: int):
+        """(10, 4) float32 [x1,y1,x2,y2] per-char boxes for one image."""
+        import numpy as np
+        if not isinstance(self.components_list, dict):
+            return np.asarray(self.components_list[index], np.float32)
+        entry = self.components_list[f"{index:08d}"]
+        return np.stack([np.asarray(entry[f"char_{i}"][0:4], np.float32)
+                         for i in range(10)])
 
     def __getitem__(self, index: int):
         import cv2
@@ -72,7 +95,10 @@ class FFHQDegradationDataset(_BaseDataset):
         img = imfrombytes(self.client.get(path), float32=True)  # BGR
         img = cv2.resize(img, (self.input_width, self.input_height),
                          interpolation=cv2.INTER_LINEAR)
-        return {"gt": img[..., ::-1].copy(), "gt_path": path}  # RGB [0,1]
+        item = {"gt": img[..., ::-1].copy(), "gt_path": path}  # RGB [0,1]
+        if self.crop_components:
+            item["char_boxes"] = self._component_boxes(index)
+        return item
 
     def device_pipeline(self):
         opt = self.opt

@@ -7,17 +7,25 @@ with RandomizedBlur drawing uniformly over four types — all applied by
 scipy convolve2d in dataloader workers.
 
 TPU-native equivalent: ALL pyblur kernels become one constant
-(K, 21, 21) bank generated here at init (the measured PSFs are replaced by
-procedurally synthesized random-walk camera-shake PSFs — same role, no data
-file), and the jitted pipeline selects rows with jax.random.categorical —
-`random_mixed_kernel`'s `extra_bank`.
+(K, 21, 21) bank generated here at init, and the jitted pipeline selects
+rows with jax.random.categorical — `random_mixed_kernel`'s `extra_bank`.
+
+The 100 measured camera-shake PSFs ship in-repo as
+`assets/psf_bank.npz` — converted from pyblur's psf.pkl (odd sizes 5..29,
+each unit-mass; entries wider than 21 carry ALL their mass inside the
+central 21×21, so the crop is lossless ≤6e-8). If the asset is missing,
+procedurally synthesized random-walk PSFs stand in.
 """
 
 from __future__ import annotations
 
+import os.path as osp
+
 import numpy as np
 
 PAD = 21
+MEASURED_PSF_PATH = osp.join(osp.dirname(__file__), "assets",
+                             "psf_bank.npz")
 
 
 def _padded(k: np.ndarray, pad: int = PAD) -> np.ndarray:
@@ -77,9 +85,16 @@ def line_kernels(sizes=(3, 5, 7, 9), angles_per_size=None) -> list:
     return out
 
 
+def measured_psf_kernels(path: str = MEASURED_PSF_PATH) -> list:
+    """The 100 measured camera-shake PSFs (pyblur PsfBlur.py:9-25 psf.pkl),
+    centered on the (PAD, PAD) canvas, unit mass."""
+    bank = np.load(path)["psfs"].astype(np.float32)
+    return [k / k.sum() for k in bank]
+
+
 def psf_kernels(num: int = 100, seed: int = 0, size: int = PAD) -> list:
     """Procedural camera-shake PSFs: smoothed random-walk trajectories
-    (stand-in for pyblur's 100 measured psf.pkl kernels)."""
+    (fallback when the measured assets/psf_bank.npz is unavailable)."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(num):
@@ -111,9 +126,13 @@ def psf_kernels(num: int = 100, seed: int = 0, size: int = PAD) -> list:
 
 
 def build_pyblur_bank(include_psf: bool = True, seed: int = 0) -> np.ndarray:
-    """Full (K, 21, 21) bank: box + disk + gaussian + line (+100 PSFs)."""
+    """Full (K, 21, 21) bank: box + disk + gaussian + line (+100 PSFs —
+    measured when assets/psf_bank.npz is present, procedural otherwise)."""
     kernels = (box_kernels() + disk_kernels() + gaussian_kernels() +
                line_kernels())
     if include_psf:
-        kernels += psf_kernels(seed=seed)
+        if osp.exists(MEASURED_PSF_PATH):
+            kernels += measured_psf_kernels()
+        else:
+            kernels += psf_kernels(seed=seed)
     return np.stack(kernels).astype(np.float32)

@@ -186,3 +186,41 @@ def test_perspective_roundtrip_runs(rng):
     assert np.isfinite(np.asarray(out)).all()
     # destroys some information but stays in range
     assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.001
+
+
+def test_measured_psf_bank_matches_pickle():
+    """assets/psf_bank.npz carries the reference psf.pkl kernels exactly
+    (mass + support), modulo lossless centering on the 21-canvas."""
+    from image_restoration_tpu.data.pyblur_bank import (
+        measured_psf_kernels, build_pyblur_bank, PAD)
+    bank = measured_psf_kernels()
+    assert len(bank) == 100
+    for k in bank:
+        assert k.shape == (PAD, PAD)
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-5)
+    # the measured PSFs must be part of the default bank
+    full = build_pyblur_bank()
+    np.testing.assert_allclose(full[-100:], np.stack(bank), atol=1e-7)
+
+    import os.path as osp
+    pkl = ("/root/reference/Car_Plate-Restoration/basicsr/data/pyblur/"
+           "pyblur/psf.pkl")
+    if not osp.exists(pkl):
+        pytest.skip("reference psf.pkl not mounted")
+    import pickle
+    with open(pkl, "rb") as f:
+        ref = pickle.load(f, encoding="latin1")
+    for i in range(100):
+        a = np.asarray(ref[i], np.float32)
+        a = a / a.sum()
+        s = a.shape[0]
+        if s <= PAD:
+            o = (PAD - s) // 2
+            want = np.zeros((PAD, PAD), np.float32)
+            want[o:o + s, o:o + s] = a
+        else:
+            o = (s - PAD) // 2
+            want = a[o:o + PAD, o:o + PAD]
+            want = want / want.sum()
+        np.testing.assert_allclose(bank[i], want, atol=1e-6,
+                                   err_msg=f"psf {i}")

@@ -190,3 +190,105 @@ def test_save_and_resume(tmp_path):
     b = jax.tree.leaves(model2.state["params_g"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(model2.state["iter"]) == 1
+
+
+def _gfpgan_component_opt(tmp_path):
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "GFPGANModel",
+        "use_component_loss": True,
+        "network_g": dict(type="GFPGANv1OCR", input_width=32,
+                          input_height=32, num_style_feat=16,
+                          channel_multiplier=0.25, num_mlp=2,
+                          input_is_latent=True, different_w=True,
+                          narrow=0.5, sft_half=True, fix_decoder=False),
+        "network_d": dict(type="StyleGAN2Discriminator", input_width=32,
+                          input_height=32, channel_multiplier=0.25,
+                          narrow=0.25),
+        "network_d_char": dict(type="FacialComponentDiscriminator"),
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 2e-3},
+            "optim_d": {"type": "Adam", "lr": 2e-3},
+            "optim_component": {"type": "Adam", "lr": 2e-3},
+            "scheduler": {"type": "MultiStepLR", "milestones": [100],
+                          "gamma": 0.5},
+            "total_iter": 4,
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 0.1},
+            "L1_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "GANLoss", "gan_type": "wgan_softplus",
+                        "loss_weight": 0.1},
+            "gan_component_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                                  "real_label_val": 1.0,
+                                  "fake_label_val": 0.0, "loss_weight": 1.0},
+            "comp_style_weight": 200,
+            "pyramid_loss_weight": 1.0,
+            "remove_pyramid_loss": 100,
+            "r1_reg_weight": 10,
+            "net_d_iters": 1, "net_d_init_iters": 0, "net_d_reg_every": 4,
+        },
+    })
+    return opt
+
+
+def test_gfpgan_component_discriminator_steps(tmp_path):
+    """Ref gfpgan_model.py:556-642,700-760: per-char component GAN +
+    Gram-style losses; the 10 char Ds train (stacked-vmap design)."""
+    model = build_model(_gfpgan_component_opt(tmp_path))
+    rng = np.random.default_rng(3)
+    gt = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+    lq = np.clip(gt + rng.normal(0, 0.1, gt.shape), -1, 1).astype(np.float32)
+    x1 = rng.uniform(0, 20, (2, 10))
+    y1 = rng.uniform(0, 20, (2, 10))
+    boxes = np.stack([x1, y1, x1 + 8, y1 + 8], -1).astype(np.float32)
+    batch = {"lq": lq, "gt": gt, "char_boxes": boxes}
+
+    dc_before = jax.device_get(model.state["params_dc"])
+    for i in range(1, 3):
+        out = model.optimize_parameters(i, batch, jax.random.PRNGKey(i))
+        for k, v in out.items():
+            assert np.isfinite(v), f"{k} not finite at iter {i}"
+    # all component losses logged
+    for i in range(10):
+        assert f"l_g_gan_char_{i}" in out
+        assert f"l_d_char_{i}" in out
+    assert "l_g_comp_style_loss" in out
+    # every char D's params moved (stacked axis 0)
+    dc_after = jax.device_get(model.state["params_dc"])
+    leaf_b = jax.tree.leaves(dc_before)[0]
+    leaf_a = jax.tree.leaves(dc_after)[0]
+    per_char_delta = np.abs(leaf_a - leaf_b).reshape(10, -1).max(axis=1)
+    assert np.all(per_char_delta > 0), per_char_delta
+    # missing boxes must be a hard error
+    with pytest.raises(KeyError):
+        model.optimize_parameters(3, {"lq": lq, "gt": gt},
+                                  jax.random.PRNGKey(3))
+
+
+def test_gfpgan_net_d_iters_skips_g_update(tmp_path):
+    """Ref :508: on skip iters optimizer_g.step() is not called at all —
+    params_g must be bit-identical, while D still updates and EMA blends."""
+    opt = _gfpgan_component_opt(tmp_path)
+    opt["use_component_loss"] = False
+    del opt["network_d_char"]
+    opt["train"]["net_d_iters"] = 2  # odd iters skip the G update
+    model = build_model(opt)
+    rng = np.random.default_rng(4)
+    gt = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+    lq = gt.copy()
+    batch = {"lq": lq, "gt": gt}
+    g_before = jax.device_get(model.state["params_g"])
+    d_before = jax.device_get(model.state["params_d"])
+    out = model.optimize_parameters(1, batch, jax.random.PRNGKey(1))
+    assert "l_g_gan" not in out  # no G losses on a skip iter
+    g_after = jax.device_get(model.state["params_g"])
+    d_after = jax.device_get(model.state["params_d"])
+    assert all(np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(g_before), jax.tree.leaves(g_after)))
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(d_before), jax.tree.leaves(d_after)))
+    # update iter: G moves
+    out = model.optimize_parameters(2, batch, jax.random.PRNGKey(2))
+    assert "l_g_gan" in out
+    g_final = jax.device_get(model.state["params_g"])
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(g_after), jax.tree.leaves(g_final)))

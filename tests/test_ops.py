@@ -226,3 +226,50 @@ def test_dynamic_resize_masks_invalid_rows():
         64, 256, jnp.float32(256 / 40), jnp.int32(40), "bilinear"))
     assert np.all(dyn[40:] == 0)
     np.testing.assert_allclose(dyn[:40].sum(axis=1), 1.0, rtol=1e-4)
+
+
+# --------------------------------------------------------------- roi_align
+
+def _np_roi_align(img, boxes, out_size, sr=2):
+    """Scalar reference: torchvision.ops.roi_align, aligned=False."""
+    H, W, _ = img.shape
+    S = out_size
+    out = np.zeros((boxes.shape[0], S, S, img.shape[2]), np.float64)
+    for k, (x1, y1, x2, y2) in enumerate(boxes):
+        bw = max(x2 - x1, 1.0) / S
+        bh = max(y2 - y1, 1.0) / S
+        for i in range(S):
+            for j in range(S):
+                acc = np.zeros(img.shape[2])
+                for iy in range(sr):
+                    for ix in range(sr):
+                        y = y1 + (i + (iy + .5) / sr) * bh
+                        x = x1 + (j + (ix + .5) / sr) * bw
+                        if y < -1 or y > H or x < -1 or x > W:
+                            continue
+                        y_ = min(max(y, 0), H - 1)
+                        x_ = min(max(x, 0), W - 1)
+                        y0, x0 = int(np.floor(y_)), int(np.floor(x_))
+                        y1i = min(y0 + 1, H - 1)
+                        x1i = min(x0 + 1, W - 1)
+                        ly, lx = y_ - y0, x_ - x0
+                        acc += ((1 - ly) * (1 - lx) * img[y0, x0] +
+                                (1 - ly) * lx * img[y0, x1i] +
+                                ly * (1 - lx) * img[y1i, x0] +
+                                ly * lx * img[y1i, x1i])
+                out[k, i, j] = acc / (sr * sr)
+    return out
+
+
+def test_roi_align_matches_scalar_reference(rng):
+    from image_restoration_tpu.ops.roi_align import roi_align
+    N, H, W, K, S = 2, 32, 64, 4, 8
+    img = rng.random((N, H, W, 3)).astype(np.float32)
+    x1 = rng.uniform(-5, W - 10, (N, K))
+    y1 = rng.uniform(-5, H - 10, (N, K))
+    boxes = np.stack([x1, y1, x1 + rng.uniform(2, 30, (N, K)),
+                      y1 + rng.uniform(2, 20, (N, K))], -1).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda i, b: roi_align(i, b, S))(img, boxes))
+    want = np.stack([_np_roi_align(img[i], boxes[i], S) for i in range(N)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
