@@ -2,10 +2,12 @@
 
 Backends:
   * 'disk' — plain files (ref DiskBackend)
-  * 'pak'  — packed-record store replacing the reference's LMDB backend
-    (lmdb is not a dependency): one blob file + binary index, supporting
-    O(1) random reads. `make_pak_from_folder` replaces
-    utils/lmdb_util.make_lmdb_from_imgs. The native C++ reader
+  * 'lmdb' — real LMDB databases (ref LmdbBackend, file_client.py:74-131),
+    read through the dependency-free mmap reader in utils/lmdb_util.py —
+    reference-prepared `<name>.lmdb/data.mdb` datasets load as-is.
+  * 'pak'  — this repo's packed-record store: one blob file + binary
+    index, O(1) random reads. `make_pak_from_folder` is the preferred
+    analog of utils/lmdb_util.make_lmdb_from_imgs. The native C++ reader
     (native/pakio) mmaps the blob and serves multi-threaded reads; this
     module falls back to pure-Python IO when the shared library is absent.
 """
@@ -92,6 +94,35 @@ class _PakBackend:
         return self.index.keys()
 
 
+class _LmdbBackend:
+    """Real-LMDB reads (ref LmdbBackend :74-131), one reader per db path.
+
+    `client_key` selects among multiple databases the way the reference's
+    (db_paths, client_keys) pairing does; keys default to 'default'.
+    """
+
+    def __init__(self, db_paths, client_keys="default"):
+        from .lmdb_util import LmdbReader
+        if isinstance(client_keys, str):
+            client_keys = [client_keys]
+        if isinstance(db_paths, (str, bytes)):
+            db_paths = [db_paths]
+        assert len(client_keys) == len(db_paths), (
+            "client_keys and db_paths must have the same length")
+        self._dbs = {k: LmdbReader(str(p))
+                     for k, p in zip(client_keys, db_paths)}
+
+    def get(self, filepath: str, client_key: str = "default") -> bytes:
+        value = self._dbs[client_key].get(str(filepath))
+        if value is None:
+            raise KeyError(f"key {filepath!r} not found in lmdb "
+                           f"'{client_key}'")
+        return value
+
+    def keys(self, client_key: str = "default"):
+        return [k.decode("ascii") for k in self._dbs[client_key].keys()]
+
+
 class FileClient:
     """Unified client (ref file_client.py:132-167)."""
 
@@ -99,8 +130,11 @@ class FileClient:
         self.backend = backend
         if backend == "disk":
             self._client = None
-        elif backend in ("pak", "lmdb"):
-            # 'lmdb' in reference configs maps to the pak store here
+        elif backend == "lmdb":
+            path = kwargs.get("db_paths") or kwargs.get("pak_path")
+            self._client = _LmdbBackend(
+                path, kwargs.get("client_keys", "default"))
+        elif backend == "pak":
             path = kwargs.get("db_paths") or kwargs.get("pak_path")
             if isinstance(path, (list, tuple)):
                 path = path[0]
@@ -112,4 +146,6 @@ class FileClient:
         if self.backend == "disk":
             with open(filepath, "rb") as f:
                 return f.read()
+        if self.backend == "lmdb" and client_key is not None:
+            return self._client.get(filepath, client_key)
         return self._client.get(filepath)

@@ -1,6 +1,7 @@
 """pak store tests: python writer/reader + native C++ reader round trip."""
 
 import numpy as np
+from os import path as osp
 import pytest
 
 from image_restoration_tpu.utils.file_client import (FileClient, write_pak,
@@ -43,3 +44,64 @@ def test_pak_native_reader(pak):
     out = reader.read_batch(offsets, lengths)
     for k, blob in zip(keys, out):
         assert blob == records[k]
+
+
+# ----------------------------------------------------------------- lmdb
+
+def test_lmdb_write_read_roundtrip(tmp_path):
+    """Dependency-free LMDB: multi-level B-tree + overflow values."""
+    from image_restoration_tpu.utils.lmdb_util import LmdbReader, LmdbWriter
+
+    rng = np.random.default_rng(0)
+    items = {}
+    for i in range(300):  # enough leaves to force a branch level
+        items[f"img_{i:05d}"] = rng.integers(
+            0, 256, rng.integers(20, 200)).astype(np.uint8).tobytes()
+    items["big_blob"] = rng.integers(0, 256, 30000).astype(
+        np.uint8).tobytes()  # > pagesize → overflow pages
+
+    db = tmp_path / "toy.lmdb"
+    w = LmdbWriter(str(db))
+    for k, v in items.items():
+        w.put(k, v)
+    w.commit()
+
+    r = LmdbReader(str(db))
+    assert r.entries == len(items)
+    for k, v in items.items():
+        assert r.get(k) == v, k
+    assert r.get("missing_key") is None
+    assert [k.decode() for k in r.keys()] == sorted(items)
+    r.close()
+
+
+def test_lmdb_through_dataset_path(tmp_path):
+    """make_lmdb_from_imgs → FFHQDegradationDataset(io_backend: lmdb)."""
+    import cv2
+    from image_restoration_tpu.utils.lmdb_util import make_lmdb_from_imgs
+    from image_restoration_tpu.data.datasets import FFHQDegradationDataset
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    names = []
+    for i in range(4):
+        img = rng.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+        cv2.imwrite(str(src / f"plate_{i}.png"), img)
+        names.append(f"plate_{i}.png")
+    db = tmp_path / "plates.lmdb"
+    n = make_lmdb_from_imgs(str(src), str(db), names,
+                            [osp.splitext(p)[0] for p in names])
+    assert n == 4
+    assert (db / "meta_info.txt").exists()
+
+    ds = FFHQDegradationDataset({
+        "dataroot_gt": str(db),
+        "io_backend": {"type": "lmdb"},
+        "input_width": 24, "input_height": 20,
+    })
+    assert len(ds) == 4
+    item = ds[2]
+    assert item["gt"].shape == (20, 24, 3)
+    want = cv2.imread(str(src / "plate_2.png"))[..., ::-1] / 255.0
+    np.testing.assert_allclose(item["gt"], want, atol=1e-6)
