@@ -22,15 +22,18 @@ from ..utils.registry import ARCH_REGISTRY
 
 Dtype = Any
 
-# layer name → (conv features) walk for vgg19; 'M' = maxpool
+# layer name → (conv features) walk; 'M' = maxpool
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512, "M"]
+_CFGS = {"vgg19": VGG19_CFG, "vgg16": VGG16_CFG}
 
 
-def vgg19_layer_names():
+def vgg_layer_names(vgg_type: str = "vgg19"):
     names = []
     block, conv = 1, 0
-    for v in VGG19_CFG:
+    for v in _CFGS[vgg_type]:
         if v == "M":
             names.append(f"pool{block}")
             block += 1
@@ -40,6 +43,10 @@ def vgg19_layer_names():
             names.append(f"conv{block}_{conv}")
             names.append(f"relu{block}_{conv}")
     return names
+
+
+def vgg19_layer_names():
+    return vgg_layer_names("vgg19")
 
 
 @ARCH_REGISTRY.register()
@@ -63,14 +70,14 @@ class VGGFeatureExtractor(nn.Module):
 
         wanted = set(self.layer_name_list)
         # stop at the deepest requested tap
-        names_seq = vgg19_layer_names()
+        names_seq = vgg_layer_names(self.vgg_type)
         last_idx = max(names_seq.index(n) for n in wanted)
 
         out = {}
         h = x
         block, conv = 1, 0
         idx = 0
-        for v in VGG19_CFG:
+        for v in _CFGS[self.vgg_type]:
             if idx > last_idx:
                 break
             if v == "M":

@@ -10,14 +10,14 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..archs.vgg_arch import VGG19_CFG
+from ..archs.vgg_arch import _CFGS, VGG19_CFG  # noqa: F401
 
 
-def _seq_index_to_name():
+def _seq_index_to_name(vgg_type: str = "vgg19"):
     mapping = {}
     idx = 0
     block, conv = 1, 0
-    for v in VGG19_CFG:
+    for v in _CFGS[vgg_type]:
         if v == "M":
             block += 1
             conv = 0
@@ -29,10 +29,10 @@ def _seq_index_to_name():
     return mapping
 
 
-def load_torchvision_vgg19(path: str, variables):
+def load_torchvision_vgg(path: str, variables, vgg_type: str = "vgg19"):
     from .torch_import import load_pth
     sd = load_pth(path, param_key=None)
-    mapping = _seq_index_to_name()
+    mapping = _seq_index_to_name(vgg_type)
     params = dict(variables["params"])
     for idx, name in mapping.items():
         wkey, bkey = f"features.{idx}.weight", f"features.{idx}.bias"
@@ -46,3 +46,7 @@ def load_torchvision_vgg19(path: str, variables):
     out = dict(variables)
     out["params"] = params
     return out
+
+
+def load_torchvision_vgg19(path: str, variables):
+    return load_torchvision_vgg(path, variables, "vgg19")

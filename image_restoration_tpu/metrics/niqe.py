@@ -5,9 +5,9 @@ Implements the NIQE pipeline: MSCN normalization, AGGD feature fits over
 test MVG and a pristine MVG.
 
 The pristine multivariate-Gaussian parameters (mu/cov + gaussian window) are
-DATA, not code: they are loaded from an .npz at `params_path`. By default we
-look for the reference's `niqe_pris_params.npz` if readable; otherwise
-callers must supply a params file (or fit one with `fit_pristine_params`).
+DATA, not code: they ship in-repo at `metrics/assets/niqe_pris_params.npz`
+(the published MATLAB-derived constants every NIQE implementation bundles);
+`params_path` overrides, and `fit_pristine_params` refits from a folder.
 """
 
 from __future__ import annotations
@@ -21,8 +21,8 @@ import numpy as np
 from ..utils.registry import METRIC_REGISTRY
 from .metric_util import to_y_channel
 
-_DEFAULT_PARAMS = ("/root/reference/Car_Plate-Restoration/basicsr/metrics/"
-                   "niqe_pris_params.npz")
+_DEFAULT_PARAMS = os.path.join(os.path.dirname(__file__), "assets",
+                               "niqe_pris_params.npz")
 
 _GAM = np.arange(0.2, 10.001, 0.001)
 _R_GAM = None
@@ -95,8 +95,10 @@ def niqe_core(img: np.ndarray, mu_pris_param, cov_pris_param,
     for scale in (1, 2):
         img_norm = _mscn(img, gaussian_window)
         feats = []
-        for i in range(num_block_h // scale):
-            for j in range(num_block_w // scale):
+        # same block GRID at both scales; the block size halves with the
+        # image (ref niqe.py:103-115)
+        for i in range(num_block_h):
+            for j in range(num_block_w):
                 bh, bw = block_size_h // scale, block_size_w // scale
                 block = img_norm[i * bh:(i + 1) * bh, j * bw:(j + 1) * bw]
                 feats.append(compute_feature(block))
@@ -128,7 +130,7 @@ def calculate_niqe(img, crop_border: int, input_order: str = "HWC",
             f"NIQE pristine params not found at {path}; pass params_path= "
             "(an .npz with mu_pris_param, cov_pris_param, gaussian_window)")
     niqe_pris_params = np.load(path)
-    mu = niqe_pris_params["mu_pris_param"]
+    mu = np.ravel(niqe_pris_params["mu_pris_param"])  # stored (1, 36)
     cov = niqe_pris_params["cov_pris_param"]
     window = niqe_pris_params["gaussian_window"]
 

@@ -4,6 +4,10 @@
 Parity role: scripts/data_preparation/create_lmdb.py.
 Usage: python scripts/data_preparation/create_pak.py --input DIR --output x.pak
 """
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 

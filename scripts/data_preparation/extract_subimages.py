@@ -4,6 +4,10 @@
 Parity role: scripts/data_preparation/extract_subimages.py (DIV2K-style
 480² crops with stride 240).
 """
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import os

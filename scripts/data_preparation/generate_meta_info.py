@@ -3,6 +3,10 @@
 
 Parity role: scripts/data_preparation/generate_meta_info.py.
 """
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import os.path as osp

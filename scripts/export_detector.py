@@ -7,6 +7,10 @@ the jitted detect graph; this script (a) converts weights to an orbax
 checkpoint and (b) AOT-lowers/compiles the full graph (net + decode + NMS)
 and reports its compiled stats — the artifact a serving host loads.
 """
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..")))
+
 
 import argparse
 

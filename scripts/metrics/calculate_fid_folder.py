@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """FID between a folder and reference statistics — parity with
 scripts/metrics/calculate_fid_folder.py (+ calculate_fid_stats_from_datasets)."""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import os.path as osp

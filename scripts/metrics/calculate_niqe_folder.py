@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Folder NIQE CLI — parity role: the reference's niqe usage in
 scripts/metrics."""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import os.path as osp

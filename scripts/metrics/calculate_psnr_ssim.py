@@ -1,5 +1,9 @@
 #!/usr/bin/env python
 """Folder PSNR/SSIM CLI — parity with scripts/metrics/calculate_psnr_ssim.py."""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import os.path as osp

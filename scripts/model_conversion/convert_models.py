@@ -9,6 +9,10 @@ Usage:
       --arch GFPGANv1OCR --ckpt net_g.pth --param_key params_ema \
       --config '{"input_width":256,"input_height":256,...}' --out ckpt_dir
 """
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..", "..")))
+
 
 import argparse
 import json

@@ -1,6 +1,7 @@
 """Golden tests: losses and metrics vs the reference implementations."""
 
 import numpy as np
+from os import path as osp
 import pytest
 import torch
 
@@ -110,3 +111,111 @@ def test_device_metrics_close_to_host():
         np.testing.assert_allclose(dev_psnr[i], host, rtol=1e-3)
     dev_ssim = np.asarray(ssim_batch(jnp.asarray(pred), jnp.asarray(gt)))
     assert np.all(dev_ssim > 0.5) and np.all(dev_ssim <= 1.0)
+
+
+def test_lpips_metric_properties():
+    """LPIPS (uncalibrated weights): zero on identical, >0 on different,
+    symmetric; registered-metric path handles BGR uint8 convention."""
+    import warnings
+    from image_restoration_tpu.metrics.lpips import LPIPS, calculate_lpips
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fn = LPIPS()
+    rng = np.random.default_rng(0)
+    a = rng.random((1, 32, 32, 3)).astype(np.float32) * 2 - 1
+    b = np.clip(a + rng.normal(0, 0.3, a.shape), -1, 1).astype(np.float32)
+    assert fn(a, a) == pytest.approx(0.0, abs=1e-6)
+    dab, dba = fn(a, b), fn(b, a)
+    assert dab > 1e-4
+    assert dab == pytest.approx(dba, rel=1e-4)
+    # registry path (uint8 BGR in [0,255])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        img2 = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        d = calculate_lpips(img, img2)
+    assert np.isfinite(d) and d > 0
+
+
+def test_niqe_params_bundled():
+    """metrics/assets/niqe_pris_params.npz ships in-repo; NIQE runs with
+    no /root/reference dependency."""
+    from image_restoration_tpu.metrics.niqe import (_DEFAULT_PARAMS,
+                                                    calculate_niqe)
+    assert "/root/reference" not in _DEFAULT_PARAMS
+    assert osp.exists(_DEFAULT_PARAMS)
+    rng = np.random.default_rng(0)
+    img = (rng.random((192, 192, 3)) * 255).astype(np.uint8)
+    v = calculate_niqe(img, crop_border=0)
+    assert np.isfinite(v)
+
+
+def test_niqe_core_matches_reference_module():
+    """niqe_core golden vs basicsr/metrics/niqe.py:65-130 at the bundled
+    pristine params (same gray input, |diff| < 1e-9)."""
+    ref_path = ("/root/reference/Car_Plate-Restoration/basicsr/metrics/"
+                "niqe.py")
+    if not osp.exists(ref_path):
+        pytest.skip("reference not mounted")
+    import importlib.util
+    import sys
+    import types
+
+    import scipy.ndimage
+    filters = types.ModuleType("scipy.ndimage.filters")
+    filters.convolve = scipy.ndimage.convolve
+    sys.modules.setdefault("scipy.ndimage.filters", filters)
+    saved = {k: sys.modules.get(k) for k in
+             ("basicsr", "basicsr.metrics", "basicsr.metrics.metric_util",
+              "basicsr.utils", "basicsr.utils.registry")}
+    try:
+        pkg_b = types.ModuleType("basicsr")
+        pkg_m = types.ModuleType("basicsr.metrics")
+        mu_mod = types.ModuleType("basicsr.metrics.metric_util")
+        mu_mod.reorder_image = lambda img, input_order="HWC": img
+        mu_mod.to_y_channel = lambda img: img
+        reg = types.ModuleType("basicsr.utils.registry")
+
+        class _R:
+            def register(self, f=None):
+                return f if f else (lambda g: g)
+
+        reg.METRIC_REGISTRY = _R()
+        sys.modules.update({
+            "basicsr": pkg_b, "basicsr.metrics": pkg_m,
+            "basicsr.metrics.metric_util": mu_mod,
+            "basicsr.utils": types.ModuleType("basicsr.utils"),
+            "basicsr.utils.registry": reg})
+        spec = importlib.util.spec_from_file_location("ref_niqe", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    from image_restoration_tpu.metrics.niqe import niqe_core, _DEFAULT_PARAMS
+    p = np.load(_DEFAULT_PARAMS)
+    rng = np.random.default_rng(0)
+    img = np.round(rng.random((288, 384)) * 255).astype(np.float64)
+    want = float(np.squeeze(ref.niqe(
+        img.copy(), p["mu_pris_param"], p["cov_pris_param"],
+        p["gaussian_window"])))
+    got = niqe_core(img.copy(), np.ravel(p["mu_pris_param"]),
+                    p["cov_pris_param"], p["gaussian_window"])
+    assert abs(want - got) < 1e-9
+
+
+def test_vgg16_feature_extractor_taps():
+    from image_restoration_tpu.archs.vgg_arch import VGGFeatureExtractor
+    net = VGGFeatureExtractor(
+        layer_name_list=("relu1_2", "relu3_3", "relu5_3"), vgg_type="vgg16")
+    x = jnp.zeros((1, 64, 64, 3))
+    out = jax.jit(net.init_with_output, static_argnums=())(
+        jax.random.PRNGKey(0), x)[0]
+    assert out["relu1_2"].shape == (1, 64, 64, 64)
+    assert out["relu3_3"].shape == (1, 16, 16, 256)
+    assert out["relu5_3"].shape == (1, 4, 4, 512)
