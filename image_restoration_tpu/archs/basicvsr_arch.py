@@ -85,34 +85,52 @@ class BasicVSR(nn.Module):
         n, t, h, w, c = x.shape
         flows_forward, flows_backward = self.get_flow(x)
 
-        # backward propagation (unrolled over time; flax params are shared
-        # across iterations — same compiled step reused by XLA)
-        out_bwd = [None] * t
-        feat_prop = jnp.zeros((n, h, w, self.num_feat), x.dtype)
-        for i in range(t - 1, -1, -1):
-            if i < t - 1:
-                feat_prop = flow_warp(feat_prop, flows_backward[:, i])
-            feat_prop = self.backward_trunk(
-                jnp.concatenate([x[:, i], feat_prop], axis=-1))
-            out_bwd[i] = feat_prop
+        # Both recurrences are nn.scan'd over time: the trunk traces ONCE
+        # (params broadcast across steps), so compile time is O(1) in clip
+        # length instead of O(T) for an unrolled python loop. The first
+        # step has no incoming flow; warping the all-zero initial feature
+        # with a dummy zero flow is exact (sampling a zero image is zero),
+        # so every step can warp unconditionally.
+        x_t = jnp.moveaxis(x, 1, 0)                      # (T,N,H,W,C)
+        dummy = jnp.zeros((1, n, h, w, 2), x.dtype)
+        fb_t = jnp.moveaxis(flows_backward, 1, 0)        # (T-1,N,H,W,2)
+        ff_t = jnp.moveaxis(flows_forward, 1, 0)
 
-        # forward propagation + reconstruction
-        outs = []
-        feat_prop = jnp.zeros((n, h, w, self.num_feat), x.dtype)
-        for i in range(t):
-            if i > 0:
-                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1])
-            feat_prop = self.forward_trunk(
-                jnp.concatenate([x[:, i], feat_prop], axis=-1))
-            out = jnp.concatenate([out_bwd[i], feat_prop], axis=-1)
-            out = _lrelu(self.fusion(out))
-            out = _lrelu(pixel_shuffle(self.upconv1(out), 2))
-            out = _lrelu(pixel_shuffle(self.upconv2(out), 2))
-            out = _lrelu(self.conv_hr(out))
-            out = self.conv_last(out)
-            base = resize(x[:, i], (4 * h, 4 * w), "bilinear")
-            outs.append(out + base)
-        return jnp.stack(outs, axis=1)  # (N,T,4H,4W,3)
+        def bwd_body(mdl, feat_prop, xs):
+            x_i, flow_i = xs
+            feat_prop = flow_warp(feat_prop, flow_i)
+            feat_prop = mdl.backward_trunk(
+                jnp.concatenate([x_i, feat_prop], axis=-1))
+            return feat_prop, feat_prop
+
+        scan_bwd = nn.scan(bwd_body, variable_broadcast="params",
+                           split_rngs={"params": False})
+        init = jnp.zeros((n, h, w, self.num_feat), x.dtype)
+        # reversed time: step j=0 is frame t-1 (dummy flow), then
+        # flows_backward[t-2] ... flows_backward[0]
+        _, out_bwd_rev = scan_bwd(
+            self, init, (x_t[::-1], jnp.concatenate([dummy, fb_t[::-1]])))
+        out_bwd = out_bwd_rev[::-1]                      # (T,N,H,W,F)
+
+        def fwd_body(mdl, feat_prop, xs):
+            x_i, flow_i, bwd_i = xs
+            feat_prop = flow_warp(feat_prop, flow_i)
+            feat_prop = mdl.forward_trunk(
+                jnp.concatenate([x_i, feat_prop], axis=-1))
+            out = jnp.concatenate([bwd_i, feat_prop], axis=-1)
+            out = _lrelu(mdl.fusion(out))
+            out = _lrelu(pixel_shuffle(mdl.upconv1(out), 2))
+            out = _lrelu(pixel_shuffle(mdl.upconv2(out), 2))
+            out = _lrelu(mdl.conv_hr(out))
+            out = mdl.conv_last(out)
+            base = resize(x_i, (4 * h, 4 * w), "bilinear")
+            return feat_prop, out + base
+
+        scan_fwd = nn.scan(fwd_body, variable_broadcast="params",
+                           split_rngs={"params": False})
+        _, outs = scan_fwd(self, init,
+                           (x_t, jnp.concatenate([dummy, ff_t]), out_bwd))
+        return jnp.moveaxis(outs, 0, 1)                  # (N,T,4H,4W,3)
 
 
 @ARCH_REGISTRY.register()

@@ -108,6 +108,111 @@ class ResNetBackbone(nn.Module):
         return taps
 
 
+class MobileNetV1Backbone(nn.Module):
+    """Width-0.25 MobileNetV1 trunk (ref net.py:103-140): conv_bn +
+    depthwise-separable conv_dw blocks; taps stage1/stage2/stage3 at
+    strides 8/16/32 with 64/128/256 channels."""
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+
+        def lrelu(h, slope):
+            return jnp.where(h >= 0, h, h * slope)
+
+        def conv_bn(h, oup, stride, name, leaky=0.1):
+            h = nn.Conv(oup, (3, 3), (stride, stride),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        name=f"{name}_conv", dtype=self.dtype)(h)
+            return lrelu(bn(h, f"{name}_bn"), leaky)
+
+        def conv_dw(h, oup, stride, name, leaky=0.1):
+            inp = h.shape[-1]
+            h = nn.Conv(inp, (3, 3), (stride, stride),
+                        padding=((1, 1), (1, 1)), feature_group_count=inp,
+                        use_bias=False, name=f"{name}_dw",
+                        dtype=self.dtype)(h)
+            h = lrelu(bn(h, f"{name}_dw_bn"), leaky)
+            h = nn.Conv(oup, (1, 1), use_bias=False, name=f"{name}_pw",
+                        dtype=self.dtype)(h)
+            return lrelu(bn(h, f"{name}_pw_bn"), leaky)
+
+        taps = {}
+        h = conv_bn(x, 8, 2, "stage1_0")
+        h = conv_dw(h, 16, 1, "stage1_1")
+        h = conv_dw(h, 32, 2, "stage1_2")
+        h = conv_dw(h, 32, 1, "stage1_3")
+        h = conv_dw(h, 64, 2, "stage1_4")
+        h = conv_dw(h, 64, 1, "stage1_5")
+        taps["stage1"] = h
+        for i, (oup, s) in enumerate([(128, 2)] + [(128, 1)] * 5):
+            h = conv_dw(h, oup, s, f"stage2_{i}")
+        taps["stage2"] = h
+        h = conv_dw(h, 256, 2, "stage3_0")
+        h = conv_dw(h, 256, 1, "stage3_1")
+        taps["stage3"] = h
+        return taps
+
+
+class MobileNetV3Backbone(nn.Module):
+    """MobileNetV3-style trunk for cfg_mobilenetv3.
+
+    The reference's own V3 path is dead: retinaface.py:100-105 is commented
+    out, so cfg 'MobilenetV3' leaves backbone=None and crashes upstream.
+    This is a WORKING equivalent with the cfg's expected tap channels
+    (in_channel 64 → 128/256/512 at strides 8/16/32): inverted-residual
+    blocks with hard-swish, squeeze-excite omitted (detector-scale trunk).
+    """
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+
+        def hswish(h):
+            return h * jax.nn.relu6(h + 3.0) / 6.0
+
+        def inverted(h, oup, stride, expand, name):
+            inp = h.shape[-1]
+            mid = inp * expand
+            r = nn.Conv(mid, (1, 1), use_bias=False, name=f"{name}_pw1",
+                        dtype=self.dtype)(h)
+            r = hswish(bn(r, f"{name}_bn1"))
+            r = nn.Conv(mid, (3, 3), (stride, stride),
+                        padding=((1, 1), (1, 1)), feature_group_count=mid,
+                        use_bias=False, name=f"{name}_dw",
+                        dtype=self.dtype)(r)
+            r = hswish(bn(r, f"{name}_bn2"))
+            r = nn.Conv(oup, (1, 1), use_bias=False, name=f"{name}_pw2",
+                        dtype=self.dtype)(r)
+            r = bn(r, f"{name}_bn3")
+            if stride == 1 and inp == oup:
+                r = r + h
+            return r
+
+        h = nn.Conv(16, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem_conv", dtype=self.dtype)(x)
+        h = hswish(bn(h, "stem_bn"))
+        h = inverted(h, 24, 2, 4, "block0")      # stride 4
+        h = inverted(h, 24, 1, 3, "block1")
+        taps = {}
+        h = inverted(h, 128, 2, 3, "block2")     # stride 8
+        h = inverted(h, 128, 1, 3, "block3")
+        taps["layer2"] = h
+        h = inverted(h, 256, 2, 3, "block4")     # stride 16
+        h = inverted(h, 256, 1, 3, "block5")
+        taps["layer3"] = h
+        h = inverted(h, 512, 2, 3, "block6")     # stride 32
+        h = inverted(h, 512, 1, 3, "block7")
+        taps["layer4"] = h
+        return taps
+
+
 def _conv_bn(x, features, name, train, stride=1, ksize=3, leaky=0.0,
              relu=True, dtype=None):
     pad = ksize // 2
@@ -186,9 +291,19 @@ class RetinaFace(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        depth = 18 if "18" in self.backbone else 50
-        taps = ResNetBackbone(depth, name="body", dtype=self.dtype)(x, train)
-        feats = [taps["layer2"], taps["layer3"], taps["layer4"]]
+        if self.backbone == "mobilenet0.25":
+            taps = MobileNetV1Backbone(name="body",
+                                       dtype=self.dtype)(x, train)
+            feats = [taps["stage1"], taps["stage2"], taps["stage3"]]
+        elif self.backbone == "MobilenetV3":
+            taps = MobileNetV3Backbone(name="body",
+                                       dtype=self.dtype)(x, train)
+            feats = [taps["layer2"], taps["layer3"], taps["layer4"]]
+        else:
+            depth = 18 if "18" in self.backbone else 50
+            taps = ResNetBackbone(depth, name="body",
+                                  dtype=self.dtype)(x, train)
+            feats = [taps["layer2"], taps["layer3"], taps["layer4"]]
         feats = FPN(self.out_channel, name="fpn",
                     dtype=self.dtype)(feats, train)
         feats = [SSH(self.out_channel, name=f"ssh{i + 1}",

@@ -53,7 +53,25 @@ cfg_re18 = {
 }
 
 
+cfg_mobilenetv3 = {
+    "name": "MobilenetV3",
+    "min_sizes": [[16, 32], [48, 96], [160, 224]],
+    "steps": [8, 16, 32],
+    "variance": [0.1, 0.2],
+    "clip": False,
+    "loc_weight": 2.0,
+    "batch_size": 24,
+    "epoch": 80,
+    "decay1": 70,
+    "decay2": 90,
+    "image_size": 224,
+    "in_channel": 64,
+    "out_channel": 256,
+}
+
+
 def get_cfg(name: str) -> dict:
     return {"mobilenet0.25": cfg_mnet, "Resnet50": cfg_re50,
             "Resnet18": cfg_re18, "resnet18": cfg_re18,
-            "resnet50": cfg_re50}[name]
+            "resnet50": cfg_re50, "MobilenetV3": cfg_mobilenetv3,
+            "mobilenetv3": cfg_mobilenetv3}[name]

@@ -77,20 +77,10 @@ class PlateDetector:
 
     def load(self, ckpt_path: str):
         if ckpt_path.endswith((".pth", ".pt", ".tar")):
-            from ..convert.torch_import import load_pth, convert_state_dict
-            sd = load_pth(ckpt_path, param_key=None)
-            params_sd, stats_sd = {}, {}
-            for k, v in sd.items():
-                if k.endswith(("running_mean", "running_var")):
-                    stats_sd[k] = v
-                elif not k.endswith("num_batches_tracked"):
-                    params_sd[k] = v
-            v = dict(self.variables)
-            v["params"] = convert_state_dict(params_sd, v["params"],
-                                             strict=False)
-            v["batch_stats"] = convert_state_dict(
-                stats_sd, v["batch_stats"], strict=False)
-            self.variables = v
+            # strict importer with the FPN/SSH/head/MobileNet key rules
+            from ..convert.retinaface_import import load_torch_retinaface
+            self.variables = load_torch_retinaface(ckpt_path,
+                                                   self.variables)
         else:
             import orbax.checkpoint as ocp
             import os.path as osp

@@ -94,6 +94,11 @@ class SRModel(BaseModel):
                     losses["l_style"] = l_s
             return total, losses
 
+        # optional static train-mask (EDVR TSA warmup): False leaves get
+        # zero grads — trace-time constant, so the masked variant compiles
+        # a graph with no backward work for frozen subtrees
+        grad_mask = getattr(self, "_grad_mask_tree", None)
+
         @jax.jit
         def step(state, batch, rng):
             if degrade is not None:
@@ -102,6 +107,10 @@ class SRModel(BaseModel):
                 lq, gt = batch["lq"], batch["gt"]
             (_, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state["params_g"], lq, gt)
+            if grad_mask is not None:
+                grads = jax.tree.map(
+                    lambda g, m: g if m else jnp.zeros_like(g),
+                    grads, grad_mask)
             updates, opt_g = tx.update(grads, state["opt_g"],
                                        state["params_g"])
             params = optax.apply_updates(state["params_g"], updates)

@@ -63,15 +63,59 @@ class VideoBaseModel(SRModel):
         return results
 
 
+def _path_mask(tree, pred):
+    """Bool pytree: pred(path tuple) per leaf (the requires_grad analog)."""
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return pred(path)
+    return walk(tree, ())
+
+
 @MODEL_REGISTRY.register()
 class EDVRModel(VideoBaseModel):
-    """EDVR trainer with the TSA warmup policy (ref edvr_model.py:9-67):
-    dcn/front layers frozen for `dcn_lr_mul`-style staged training."""
+    """EDVR trainer — TSA warmup + dcn_lr_mul (ref edvr_model.py:9-67).
+
+    Warmup (:50-60): iters 1..tsa_iter-1 train ONLY the `fusion` subtree
+    (the reference flips requires_grad; here a static grad mask selects one
+    of two compiled step graphs — the warmup graph has no backward work
+    for frozen subtrees at all). dcn_lr_mul (:21-44): updates of params
+    whose path contains 'dcn' are scaled via an optax mask.
+    """
 
     def __init__(self, opt: dict):
         self.train_tsa_iter = (opt.get("train", {}) or {}).get(
-            "tsa_iter", 0)
+            "tsa_iter", 0) or 0
+        self._tsa_phase = False
         super().__init__(opt)
+
+    def make_optimizer(self, key, params, frozen_prefix=None, lr_scale=1.0,
+                       betas=(0.9, 0.999)):
+        tx = super().make_optimizer(key, params, frozen_prefix, lr_scale,
+                                    betas)
+        dcn_lr_mul = (self.opt.get("train", {}) or {}).get("dcn_lr_mul", 1)
+        if dcn_lr_mul == 1:
+            return tx
+        mask = _path_mask(params,
+                          lambda p: any("dcn" in seg for seg in p))
+        return optax.chain(tx, optax.masked(optax.scale(dcn_lr_mul), mask))
+
+    def optimize_parameters(self, current_iter: int, batch, rng):
+        warm = bool(self.train_tsa_iter) and \
+            current_iter < self.train_tsa_iter
+        if warm != self._tsa_phase:
+            self._tsa_phase = warm
+            if warm:
+                self.logger.info("Only train TSA module for "
+                                 f"{self.train_tsa_iter} iters.")
+                params = jax.device_get(self.state["params_g"])
+                self._grad_mask_tree = _path_mask(
+                    params, lambda p: any("fusion" in seg for seg in p))
+            else:
+                self.logger.warning("Train all the parameters.")
+                self._grad_mask_tree = None
+            self._train_step = None  # retrace with the new mask
+        return super().optimize_parameters(current_iter, batch, rng)
 
 
 @MODEL_REGISTRY.register()

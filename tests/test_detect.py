@@ -134,3 +134,179 @@ def test_plate_detector_engine(rng):
     full = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
     b, s, l, v = det.detect_image(full)
     assert b.shape == (5, 4) and l.shape == (5, 10)
+
+
+# ------------------------------------------------- golden net parity
+
+REF_DET = "/root/reference/Plate_Detect/Retina-License-Plate"
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _load_ref_retinaface():
+    """Load the reference RetinaFace torch module with torchvision stubbed
+    (IntermediateLayerGetter + a minimal torchvision-named resnet18).
+    Context manager: retinaface.py re-imports torchvision inside
+    __init__ (:87-99), so the stubs must stay active while the net is
+    CONSTRUCTED, not just while the module loads."""
+    import importlib.util
+    import sys
+    import types
+    from collections import OrderedDict
+
+    import torch
+    from torch import nn as tnn
+
+    class IntermediateLayerGetter(tnn.ModuleDict):
+        def __init__(self, model, return_layers):
+            rl = dict(return_layers)
+            layers = OrderedDict()
+            for name, module in model.named_children():
+                layers[name] = module
+                rl.pop(name, None)
+                if not rl:
+                    break
+            super().__init__(layers)
+            self.return_layers = dict(return_layers)
+
+        def forward(self, x):
+            out = OrderedDict()
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    class TBasicBlock(tnn.Module):
+        def __init__(self, inp, planes, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.downsample = None
+            if stride != 1 or inp != planes:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, planes, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idt)
+
+    class TResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            feats, inp = (64, 128, 256, 512), 64
+            for li, f in enumerate(feats, start=1):
+                blocks = [TBasicBlock(inp, f, 2 if li > 1 else 1),
+                          TBasicBlock(f, f)]
+                setattr(self, f"layer{li}", tnn.Sequential(*blocks))
+                inp = f
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512, 1000)
+
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_models.resnet18 = lambda weights=None: TResNet18()
+    tv_models.__all__ = ["resnet18"]
+    tv_utils = types.ModuleType("torchvision.models._utils")
+    tv_utils.IntermediateLayerGetter = IntermediateLayerGetter
+    tv_det = types.ModuleType("torchvision.models.detection")
+    tv_bb = types.ModuleType("torchvision.models.detection.backbone_utils")
+    saved = {k: sys.modules.get(k) for k in
+             ("torchvision", "torchvision.models",
+              "torchvision.models._utils", "torchvision.models.detection",
+              "torchvision.models.detection.backbone_utils", "models",
+              "models.net")}
+    try:
+        sys.modules.update({
+            "torchvision": tv, "torchvision.models": tv_models,
+            "torchvision.models._utils": tv_utils,
+            "torchvision.models.detection": tv_det,
+            "torchvision.models.detection.backbone_utils": tv_bb})
+        spec_net = importlib.util.spec_from_file_location(
+            "models.net", f"{REF_DET}/models/net.py")
+        net_mod = importlib.util.module_from_spec(spec_net)
+        models_pkg = types.ModuleType("models")
+        models_pkg.net = net_mod
+        sys.modules["models"] = models_pkg
+        sys.modules["models.net"] = net_mod
+        spec_net.loader.exec_module(net_mod)
+        spec_rf = importlib.util.spec_from_file_location(
+            "ref_retinaface", f"{REF_DET}/models/retinaface.py")
+        rf = importlib.util.module_from_spec(spec_rf)
+        spec_rf.loader.exec_module(rf)
+        yield rf
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.mark.parametrize("backbone", ["mobilenet0.25", "Resnet18"])
+def test_retinaface_golden_vs_reference(backbone):
+    """Flax RetinaFace output == reference torch net at imported random
+    weights (eval mode), for the live backbones."""
+    import os.path as osp
+    if not osp.exists(f"{REF_DET}/models/retinaface.py"):
+        pytest.skip("reference not mounted")
+    import torch
+
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.detect.config import get_cfg
+    from image_restoration_tpu.convert.retinaface_import import (
+        load_torch_retinaface)
+
+    cfg = dict(get_cfg(backbone))
+    cfg["pretrain"] = False
+    cfg["return_layers"] = ({"stage1": 1, "stage2": 2, "stage3": 3}
+                            if backbone == "mobilenet0.25" else
+                            {"layer2": 1, "layer3": 2, "layer4": 3})
+    torch.manual_seed(0)
+    with _load_ref_retinaface() as rf:
+        tnet = rf.RetinaFace(cfg=cfg, phase="test").eval()
+    # randomize EVERYTHING incl. BN affine + running stats
+    gen = torch.Generator().manual_seed(1)
+    sd = tnet.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        r = torch.rand(v.shape, generator=gen) * 0.4 - 0.2
+        if k.endswith("running_var"):
+            r = r.abs() + 0.5
+        sd[k] = r
+    tnet.load_state_dict(sd)
+
+    net = build_network(dict(type="RetinaFace", backbone=backbone,
+                             out_channel=cfg["out_channel"], phase="test"))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda k, v: net.init(k, v))(
+        jax.random.PRNGKey(0), x)
+    variables = load_torch_retinaface(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}, variables)
+
+    rng = np.random.default_rng(2)
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_loc, t_conf, t_ldm = tnet(torch.from_numpy(
+            img.transpose(0, 3, 1, 2)))
+    j_loc, j_conf, j_ldm = jax.jit(
+        lambda v, x: net.apply(v, x, train=False))(variables, img)
+    np.testing.assert_allclose(np.asarray(j_loc), t_loc.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_conf), t_conf.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_ldm), t_ldm.numpy(),
+                               rtol=2e-4, atol=2e-4)

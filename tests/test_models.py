@@ -28,11 +28,62 @@ def test_lr_schedules():
     assert float(s(0)) == pytest.approx(2e-3)
     assert float(s(150)) == pytest.approx(1e-3)
     assert float(s(250)) == pytest.approx(5e-4)
+    # restart wipes earlier decays and re-accumulates (ref :27-34)
+    s = multistep_restart_lr(2e-3, [100, 200], gamma=0.5,
+                             restarts=[150], restart_weights=[0.5])
+    assert float(s(149)) == pytest.approx(1e-3)       # one decay
+    assert float(s(150)) == pytest.approx(1e-3)       # restart: base*0.5
+    assert float(s(220)) == pytest.approx(0.5e-3)     # decay after restart
     c = cosine_annealing_restart_lr(1e-3, [100, 100],
                                     restart_weights=[1, 0.5])
     assert float(c(0)) == pytest.approx(1e-3, rel=1e-3)
     assert float(c(99)) < 1e-4
-    assert float(c(100)) == pytest.approx(0.5e-3, rel=0.05)
+    # the restart takes effect the iter AFTER the boundary (ref
+    # get_position_from_periods uses <=)
+    assert float(c(100)) == pytest.approx(0.0, abs=1e-6)
+    assert float(c(101)) == pytest.approx(0.5e-3, rel=0.05)
+
+
+def test_lr_schedules_golden_vs_reference():
+    """Curve parity with basicsr/models/lr_scheduler.py through a real
+    torch optimizer (the reference schedulers are stateful)."""
+    import importlib.util
+    ref_path = ("/root/reference/Car_Plate-Restoration/basicsr/models/"
+                "lr_scheduler.py")
+    import os.path as osp
+    if not osp.exists(ref_path):
+        pytest.skip("reference not mounted")
+    import torch
+    spec = importlib.util.spec_from_file_location("ref_sched", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    def curve(make_sched, steps):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=3e-4)
+        sched = make_sched(opt)
+        lrs = [opt.param_groups[0]["lr"]]
+        for _ in range(steps):
+            sched.step()
+            lrs.append(opt.param_groups[0]["lr"])
+        return np.asarray(lrs)
+
+    want = curve(lambda o: ref.MultiStepRestartLR(
+        o, milestones=[5, 9, 9, 15], gamma=0.5, restarts=[10],
+        restart_weights=[0.7]), 24)
+    ours = multistep_restart_lr(3e-4, [5, 9, 9, 15], gamma=0.5,
+                                restarts=[10], restart_weights=[0.7])
+    got = np.asarray([float(ours(k)) for k in range(25)])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    want = curve(lambda o: ref.CosineAnnealingRestartLR(
+        o, periods=[10, 10, 5], restart_weights=[1, 0.5, 0.25],
+        eta_min=1e-7), 24)
+    ours = cosine_annealing_restart_lr(3e-4, [10, 10, 5],
+                                       restart_weights=[1, 0.5, 0.25],
+                                       eta_min=1e-7)
+    got = np.asarray([float(ours(k)) for k in range(25)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 def test_sr_model_loss_decreases(tmp_path):

@@ -155,3 +155,56 @@ def test_ridnet_parity(rng):
     got = net.apply({"params": params}, xx)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_basicvsr_scan_matches_unrolled_reference():
+    """The nn.scan'd recurrence must equal the step-by-step python unroll
+    (same params, same flow padding semantics)."""
+    from image_restoration_tpu.archs.basicvsr_arch import BasicVSR
+    from image_restoration_tpu.archs.arch_util import flow_warp
+    from image_restoration_tpu.ops.pixel_ops import pixel_shuffle
+    from image_restoration_tpu.ops.resize import resize
+
+    net = BasicVSR(num_feat=8, num_block=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 5, 64, 64, 3)), jnp.float32)
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    got = np.asarray(jax.jit(lambda p, x: net.apply({"params": p}, x))(
+        v["params"], x))
+
+    # independent unrolled re-implementation through the same submodules
+    def unrolled(params, x):
+        def run(mdl, x):
+            n, t, h, w, c = x.shape
+            ff, fb = mdl.get_flow(x)
+            out_bwd = [None] * t
+            feat = jnp.zeros((n, h, w, mdl.num_feat), x.dtype)
+            for i in range(t - 1, -1, -1):
+                if i < t - 1:
+                    feat = flow_warp(feat, fb[:, i])
+                feat = mdl.backward_trunk(
+                    jnp.concatenate([x[:, i], feat], -1))
+                out_bwd[i] = feat
+            outs = []
+            feat = jnp.zeros((n, h, w, mdl.num_feat), x.dtype)
+            for i in range(t):
+                if i > 0:
+                    feat = flow_warp(feat, ff[:, i - 1])
+                feat = mdl.forward_trunk(
+                    jnp.concatenate([x[:, i], feat], -1))
+                o = jnp.concatenate([out_bwd[i], feat], -1)
+                o = nn_lrelu(mdl.fusion(o))
+                o = nn_lrelu(pixel_shuffle(mdl.upconv1(o), 2))
+                o = nn_lrelu(pixel_shuffle(mdl.upconv2(o), 2))
+                o = nn_lrelu(mdl.conv_hr(o))
+                o = mdl.conv_last(o)
+                outs.append(o + resize(x[:, i], (4 * h, 4 * w), "bilinear"))
+            return jnp.stack(outs, 1)
+
+        return net.apply({"params": params}, x, method=run)
+
+    def nn_lrelu(v, slope=0.1):
+        return jnp.where(v >= 0, v, v * slope)
+
+    want = np.asarray(jax.jit(unrolled)(v["params"], x))
+    np.testing.assert_allclose(got, want, atol=1e-5)

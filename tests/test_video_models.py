@@ -83,3 +83,48 @@ def test_hifacegan_model_step(tmp_path):
     out = model.optimize_parameters(1, {"lq": lq, "gt": gt},
                                     jax.random.PRNGKey(1))
     assert all(np.isfinite(v) for v in out.values()), out
+
+
+def test_edvr_tsa_warmup_freezes_non_fusion(tmp_path):
+    """Ref edvr_model.py:50-60: iters < tsa_iter train ONLY the TSA fusion
+    subtree; from tsa_iter on, everything trains. Also dcn_lr_mul wiring."""
+    opt = _base_opt(tmp_path)
+    opt.update({
+        "model_type": "EDVRModel",
+        "scale": 4, "gt_size": 32,
+        "datasets": {"train": {"num_frame": 3, "gt_size": 32}},
+        "network_g": dict(type="EDVR", num_feat=8, num_frame=3,
+                          deformable_groups=2, num_extract_block=1,
+                          num_reconstruct_block=1, with_tsa=True),
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3}, "total_iter": 4,
+                  "tsa_iter": 3, "dcn_lr_mul": 0.5,
+                  "pixel_opt": {"type": "L1Loss"}},
+    })
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    gt = rng.random((2, 32, 32, 3)).astype(np.float32)
+    lq = rng.random((2, 3, 8, 8, 3)).astype(np.float32)
+
+    def deltas(before, after):
+        moved, frozen = [], []
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(before)[0],
+                jax.tree_util.tree_flatten_with_path(after)[0]):
+            names = [getattr(k, "key", str(k)) for k in path]
+            (moved if not np.array_equal(a, b) else frozen).append(names)
+        return moved, frozen
+
+    p0 = jax.device_get(model.state["params_g"])
+    model.optimize_parameters(1, {"lq": lq, "gt": gt}, jax.random.PRNGKey(1))
+    model.optimize_parameters(2, {"lq": lq, "gt": gt}, jax.random.PRNGKey(2))
+    p2 = jax.device_get(model.state["params_g"])
+    moved, frozen = deltas(p0, p2)
+    assert moved, "nothing trained during warmup"
+    assert all("fusion" in names[0] for names in moved), moved[:3]
+    assert any("fusion" not in names[0] for names in frozen)
+
+    model.optimize_parameters(3, {"lq": lq, "gt": gt}, jax.random.PRNGKey(3))
+    p3 = jax.device_get(model.state["params_g"])
+    moved, _ = deltas(p2, p3)
+    assert any("fusion" not in names[0] for names in moved), \
+        "full training did not resume at tsa_iter"
