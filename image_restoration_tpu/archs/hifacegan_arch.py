@@ -27,10 +27,15 @@ def _lrelu(x, slope=0.2):
 
 
 class SPADE(nn.Module):
-    """Spatially-adaptive (de)normalization (hifacegan_util.py SPADE)."""
+    """Spatially-adaptive (de)normalization (hifacegan_util.py SPADE:12-55).
+
+    Parameter-free instance norm (the reference's single-GPU path maps
+    'syncbatch' to InstanceNorm2d too, :22-27), then `normalized·γ + β`
+    with γ/β from bias-free 3×3 convs over a shared embedding whose width
+    is min(norm_nc, 128) (:33-38).
+    """
     norm_nc: int
     label_nc: int = 3
-    nhidden: int = 128
     dtype: Dtype = None
 
     @nn.compact
@@ -40,13 +45,14 @@ class SPADE(nn.Module):
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         normalized = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         seg = resize(segmap, x.shape[1:3], "nearest")
-        actv = jax.nn.relu(conv_kaiming(self.nhidden, 3, name="mlp_shared",
+        nhidden = 128 if self.norm_nc > 128 else self.norm_nc
+        actv = jax.nn.relu(conv_kaiming(nhidden, 3, name="mlp_shared",
                                         dtype=self.dtype)(seg))
-        gamma = conv_kaiming(self.norm_nc, 3, name="mlp_gamma",
-                             dtype=self.dtype)(actv)
-        beta = conv_kaiming(self.norm_nc, 3, name="mlp_beta",
-                            dtype=self.dtype)(actv)
-        return normalized * (1 + gamma) + beta
+        gamma = conv_kaiming(self.norm_nc, 3, use_bias=False,
+                             name="mlp_gamma", dtype=self.dtype)(actv)
+        beta = conv_kaiming(self.norm_nc, 3, use_bias=False,
+                            name="mlp_beta", dtype=self.dtype)(actv)
+        return normalized * gamma + beta
 
 
 class SPADEResnetBlock(nn.Module):

@@ -529,30 +529,44 @@ def warp_perspective(img, h_mat):
             v10 * (1 - wx) * wy + v11 * wx * wy)
 
 
+# perstranforms corner-band table (ref degradations.py:392-411): each of
+# the three `factor` layouts places each corner's (x, y) in one of three
+# bands — 0: [0, dim/down·(scale-1)], 1: [·(scale-1), ·scale],
+# 2: [·scale, dim]. Rows: factor; cols: TL, TR, BL, BR; entries (x, y).
+_PERS_BANDS = jnp.asarray([
+    [[0, 0], [2, 0], [0, 2], [2, 2]],   # factor 1
+    [[0, 1], [1, 0], [1, 2], [2, 1]],   # factor 2
+    [[1, 0], [2, 1], [0, 1], [1, 2]],   # factor 3
+], jnp.int32)
+
+
 def perspective_roundtrip(key, img, down_choices=(3, 5)):
     """Warp to a random quadrilateral and back (ref perstranforms :386-416):
-    the information-destroying round trip used as a degradation."""
+    the information-destroying round trip used as a degradation. All three
+    corner layouts (`factor` 1-3) are drawn uniformly, like the reference's
+    random.randint(1, 3)."""
     n, h, w, c = img.shape
 
     def one(key, im):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         down = jnp.asarray(down_choices, jnp.float32)[
             jax.random.randint(k1, (), 0, len(down_choices))]
         scale = (down + 1) // 2
-        # corners jittered within outer/inner bands (factor-1 variant)
-        lim_w = w / down * (scale - 1) + 1
-        lim_h = h / down * (scale - 1) + 1
-        u = jax.random.uniform(k2, (8,))
+        factor = jax.random.randint(k3, (), 0, 3)
+        bands = _PERS_BANDS[factor]                       # (4, 2)
+        u = jax.random.uniform(k2, (4, 2))
+
+        def banded(dim, band_id, uu):
+            lo = dim / down * (scale - 1)
+            hi = dim / down * scale
+            lows = jnp.stack([0.0, lo, hi])
+            highs = jnp.stack([lo, hi, jnp.float32(dim)])
+            return lows[band_id] + uu * (highs[band_id] - lows[band_id])
+
+        xs = banded(w, bands[:, 0], u[:, 0])
+        ys = banded(h, bands[:, 1], u[:, 1])
         pts1 = jnp.asarray([[0, 0], [w, 0], [0, h], [w, h]], jnp.float32)
-        pts2 = jnp.stack([
-            jnp.stack([u[0] * lim_w, u[1] * lim_h]),
-            jnp.stack([w / down * scale + u[2] * (w - w / down * scale),
-                       u[3] * lim_h]),
-            jnp.stack([u[4] * lim_w,
-                       h / down * scale + u[5] * (h - h / down * scale)]),
-            jnp.stack([w / down * scale + u[6] * (w - w / down * scale),
-                       h / down * scale + u[7] * (h - h / down * scale)]),
-        ])
+        pts2 = jnp.stack([xs, ys], axis=-1)
         m = _homography_from_points(pts1, pts2)
         m_inv = _homography_from_points(pts2, pts1)
         return warp_perspective(warp_perspective(im, m), m_inv)

@@ -82,6 +82,11 @@ def train_pipeline(root_path: str | None = None, argv=None):
     logger.info(get_env_info())
     logger.info(dict2str(opt))
     tb_logger = None
+    # wandb must init BEFORE tensorboard for sync_tensorboard to work
+    # (ref train.py init_tb_loggers ordering)
+    if (opt["logger"].get("wandb") or {}).get("project") is not None:
+        from .utils.logger import init_wandb_logger
+        init_wandb_logger(opt)
     if opt["logger"].get("use_tb_logger"):
         tb_logger = init_tb_logger(osp.join(opt["path"]["experiments_root"],
                                             "tb_logger"))

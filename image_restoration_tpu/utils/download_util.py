@@ -9,6 +9,23 @@ import math
 import os
 
 
+def network_available(host: str = "docs.google.com",
+                      timeout: float = 3.0) -> bool:
+    """Egress gate for the download CLIs: True when `requests` exists AND
+    the host resolves+connects (zero-egress deployments fail fast here
+    instead of mid-transfer)."""
+    try:
+        import requests  # noqa: F401
+    except ImportError:
+        return False
+    import socket
+    try:
+        with socket.create_connection((host, 443), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 def download_file_from_google_drive(file_id: str, save_path: str) -> None:
     """Reference gdrive downloader behavior (ref :8-40)."""
     try:

@@ -96,6 +96,34 @@ class MessageLogger:
         self.logger.info(message)
 
 
+def init_wandb_logger(opt: dict):
+    """W&B run init, used to sync the tensorboard log (ref
+    logger.py:87-106). Rank-0 only; no-op with a warning when the wandb
+    package is not installed (it is an optional dependency here too)."""
+    import jax
+    if jax.process_index() != 0:
+        return
+    logger = get_root_logger()
+    try:
+        import wandb
+    except ImportError:
+        logger.warning("wandb is not installed; skipping wandb logging "
+                       "(logger.wandb.project is set in the config)")
+        return
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id = resume_id
+        resume = "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id = wandb.util.generate_id()
+        resume = "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt["name"], config=opt,
+               project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
+
+
 def init_tb_logger(log_dir: str):
     try:
         from torch.utils.tensorboard import SummaryWriter

@@ -151,3 +151,51 @@ def test_unet_sn_discriminator_runs():
     variables = net.init(jax.random.PRNGKey(0), x)
     out = net.apply(variables, x)
     assert out.shape == (2, 64, 64, 1)
+
+
+def test_spade_block_golden_vs_reference():
+    """SPADEResnetBlock golden vs hifacegan_util.py:57-110 at imported
+    weights, including spectral-norm folding (weight_orig/u/v → W/σ)."""
+    import importlib.util
+    import os.path as osp
+
+    ref_path = ("/root/reference/Car_Plate-Restoration/basicsr/archs/"
+                "hifacegan_util.py")
+    if not osp.exists(ref_path):
+        pytest.skip("reference not mounted")
+    import torch
+    spec = importlib.util.spec_from_file_location("ref_hifacegan_util",
+                                                  ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    fin, fout = 8, 16
+    tblock = ref.SPADEResnetBlock(fin, fout,
+                                  norm_g="spectralspadeinstance3x3",
+                                  semantic_nc=3).eval()
+    # randomize (default init is fine but make u/v consistent: run one
+    # forward so spectral norm's power iteration settles in train mode)
+    x_t = torch.randn(2, fin, 16, 16)
+    seg_t = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        tblock.train()
+        for _ in range(3):
+            tblock(x_t, seg_t)
+        tblock.eval()
+        want = tblock(x_t, seg_t).numpy()
+
+    from image_restoration_tpu.archs.hifacegan_arch import SPADEResnetBlock
+    from image_restoration_tpu.convert.hifacegan_import import (
+        load_torch_hifacegan_block)
+
+    jblock = SPADEResnetBlock(fout)
+    x = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    seg = jnp.asarray(seg_t.numpy().transpose(0, 2, 3, 1))
+    variables = jax.jit(jblock.init)(jax.random.PRNGKey(0), x, seg)
+    params = load_torch_hifacegan_block(
+        {k: v.numpy() for k, v in tblock.state_dict().items()},
+        variables["params"])
+    got = np.asarray(jax.jit(jblock.apply)({"params": params}, x, seg))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)

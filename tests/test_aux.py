@@ -48,3 +48,11 @@ def test_dist_helpers():
 
     assert record() == "done"
     assert calls == [1]
+
+
+def test_init_wandb_logger_gated():
+    """Ref logger.py:87-106; wandb is optional — absent package must warn,
+    not raise."""
+    from image_restoration_tpu.utils.logger import init_wandb_logger
+    init_wandb_logger({"name": "t",
+                       "logger": {"wandb": {"project": "proj"}}})

@@ -76,3 +76,58 @@ def test_usm_sharp_runs(rng):
     out = usm_sharp(img)
     assert out.shape == img.shape
     assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+def test_tfrecord_example_parser_roundtrip(tmp_path):
+    """The dependency-free TFRecord/tf.Example reader in
+    scripts/data_preparation/extract_images_from_tfrecords.py decodes a
+    hand-encoded record (framing + protobuf wire format)."""
+    import importlib.util
+    import struct
+    import os.path as osp
+
+    spec = importlib.util.spec_from_file_location(
+        "tfrec", osp.join(osp.dirname(__file__), "..", "scripts",
+                          "data_preparation",
+                          "extract_images_from_tfrecords.py"))
+    tfrec = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tfrec)
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def field(num, wire, payload):
+        key = varint((num << 3) | wire)
+        if wire == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    # Feature{bytes_list=1{value=1}} for 'data'
+    img_bytes = bytes(range(12))  # 2*2*3 CHW
+    bytes_list = field(1, 2, img_bytes)
+    feat_data = field(1, 2, bytes_list)
+    entry_data = field(1, 2, b"data") + field(2, 2, feat_data)
+    # Feature{int64_list=3{value=1 repeated}} for 'shape' (3,2,2)
+    int64_list = field(1, 0, varint(3)) + field(1, 0, varint(2)) + \
+        field(1, 0, varint(2))
+    feat_shape = field(3, 2, int64_list)
+    entry_shape = field(1, 2, b"shape") + field(2, 2, feat_shape)
+    features = field(1, 2, entry_data) + field(1, 2, entry_shape)
+    example = field(1, 2, features)
+
+    rec_path = tmp_path / "toy.tfrecords"
+    with open(rec_path, "wb") as f:
+        f.write(struct.pack("<Q", len(example)) + b"\0\0\0\0" +
+                example + b"\0\0\0\0")
+
+    records = list(tfrec.iter_tfrecord(str(rec_path)))
+    assert len(records) == 1
+    feats = tfrec.parse_example(records[0])
+    assert feats["shape"] == [3, 2, 2]
+    assert feats["data"][0] == img_bytes
