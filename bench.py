@@ -1,21 +1,34 @@
 #!/usr/bin/env python
 """Benchmark: 512² x4-SR tiles/sec/chip (BASELINE.json headline metric).
 
-Runs SRVGGNetCompact (realesr-general config: 64 feat, 32 convs, x4) in bf16
-over batched 512²(+halo) tiles on the real TPU chip — the tiled-inference hot
+Runs SRVGGNetCompact (realesr-general config: 64 feat, 32 convs, x4) over
+batched 512²+halo tiles on the real TPU chip — the tiled-inference hot
 path. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
 Baseline: 200 tiles/sec/chip (BASELINE.md north star).
 
-Timing methodology: the axon tunnel has ~40-500 ms per-dispatch RPC latency,
-so wall-clock around single jit calls measures the tunnel, not the chip. We
-time an ON-CHIP lax.scan of `ITERS` data-dependent forwards inside one jit
-and fetch a scalar — this is what a production serving loop (resident on the
-host attached to the TPU) would sustain.
+Serving mode (measured best on this chip, scripts/bench_experiments.py):
+int8 PTQ with per-out-channel weight scales + calibrated activation
+scales, requant scale FOLDED into the dequant constants (PReLU is
+positive-scale invariant), 2-way block-diagonal channel packing, bf16
+output, halo 8, batch 8.
 
-Extra diagnostics (RRDBNet tiles/sec, GFPGAN imgs/sec) go to stderr.
+QUALITY GATE (printed before the headline): PSNR of the int8 tiled path
+vs the bf16 tiled path on REAL image content (the reference test_images
+when mounted, synthetic otherwise) at the served size — the headline is
+only reported as int8 if this gate holds (>= 30 dB); otherwise the bf16
+number is reported. Halo sensitivity (tiled bf16 vs full-image bf16) is
+logged as a diagnostic; with random weights it is a worst-case bound (no
+pretrained SRVGG checkpoint exists in the reference repo).
+
+Timing methodology: the axon tunnel has ~40-500 ms per-dispatch RPC
+latency, so wall-clock around single jit calls measures the tunnel, not
+the chip. We time an ON-CHIP lax.scan of `ITERS` data-dependent forwards
+inside one jit and fetch a scalar — what a production serving loop
+(resident on the TPU host) sustains. Min of 3 runs.
 """
 
+import glob
 import json
 import sys
 import time
@@ -27,16 +40,19 @@ import jax.numpy as jnp
 from image_restoration_tpu.archs import build_network
 
 BASELINE_TILES_PER_SEC = 200.0
-HALO = 16
+HALO = 8
 TILE = 512
+BS = 8
 ITERS = 20
+QUALITY_GATE_DB = 30.0
+NUM_CONV = 32
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def onchip_ms(apply_fn, params, x, iters=ITERS):
+def onchip_ms(apply_fn, params, x, iters=ITERS, repeats=3):
     """ms per forward, measured as an on-chip scan with data dependency.
 
     params/x are jit ARGUMENTS (not closure constants) — the axon remote
@@ -54,10 +70,36 @@ def onchip_ms(apply_fn, params, x, iters=ITERS):
         return c
 
     float(loop(params, x))  # compile + first run
-    t0 = time.perf_counter()
-    s = float(loop(params, x))
-    assert np.isfinite(s)
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        s = float(loop(params, x))
+        assert np.isfinite(s)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def real_tiles(size, n, rng):
+    """Real content from the reference test images; synthetic fallback."""
+    paths = sorted(glob.glob(
+        "/root/reference/Car_Plate-Restoration/test_images/*.jpg"))
+    if not paths:
+        return rng.random((n, size, size, 3)).astype(np.float32), False
+    import cv2
+    tiles = []
+    while len(tiles) < n:
+        for p in paths:
+            img = cv2.imread(p)[..., ::-1].astype(np.float32) / 255.0
+            ih, iw = img.shape[:2]
+            if ih < size or iw < size:
+                img = cv2.resize(img, (max(size, iw), max(size, ih)))
+                ih, iw = img.shape[:2]
+            y = rng.integers(0, ih - size + 1)
+            x = rng.integers(0, iw - size + 1)
+            tiles.append(img[y:y + size, x:x + size])
+            if len(tiles) >= n:
+                break
+    return np.stack(tiles), True
 
 
 def main():
@@ -65,38 +107,23 @@ def main():
     size = TILE + 2 * HALO  # halo-padded tile as served by tiled_apply
     log(f"devices: {jax.devices()}")
 
-    # ---- headline: SRVGG realesr-general x4, bf16, batched tiles.
-    #
-    # Perf notes (measured on this chip):
-    #  * conv 64→64 fills only half the 128-lane MXU → ~68 TFLOP/s cap;
-    #    dense C=128 convs sustain ~171 TFLOP/s (87% of bf16 peak)
-    #  * 2×2 space-to-depth (full 256-ch shapes) loses: 4× FLOP overhead
-    #  * grouped conv (feature_group_count=2) lowers poorly (~31 TFLOP/s)
-    #  * channel-PACKING two tiles with block-diagonal weights is exact and
-    #    measured ~1.3× (ops/packed_inference.py) → the headline path
-    NUM_CONV = 32
+    # ---- build: SRVGG realesr-general x4, packed bf16 + int8 PTQ
     net = build_network(dict(type="SRVGGNetCompact", num_feat=64,
                              num_conv=NUM_CONV, upscale=4,
                              dtype=jnp.bfloat16))
     from image_restoration_tpu.ops.packed_inference import (
         pack_srvgg_params, packed_srvgg_forward)
+    from image_restoration_tpu.ops.quantized_inference import (
+        calibrate_srvgg_act_scales, quantize_srvgg_params,
+        quantized_srvgg_forward)
 
     x1 = jnp.asarray(rng.random((1, size, size, 3), np.float32),
                      jnp.bfloat16)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), x1)
     packed = pack_srvgg_params(variables["params"], NUM_CONV)
 
-    def apply_packed(p, x):
-        return packed_srvgg_forward(p, x, NUM_CONV, 4)
-
-    # int8 PTQ mode (the TPU analog of the reference's reduced-precision
-    # TensorRT serving, Plate_Detect/docs/TRT.md): per-out-channel weight
-    # scales + calibrated per-layer activation scales, composed with the
-    # channel packing. Quality vs bf16 is logged below.
-    from image_restoration_tpu.ops.quantized_inference import (
-        calibrate_srvgg_act_scales, quantize_srvgg_params,
-        quantized_srvgg_forward)
-    calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
+    calib_np, real = real_tiles(128, 2, rng)
+    calib = jnp.asarray(calib_np)
     scales = jax.device_get(jax.jit(
         lambda p, x: calibrate_srvgg_act_scales(p, x, NUM_CONV))(
         jax.tree.map(lambda a: a.astype(jnp.float32),
@@ -105,55 +132,82 @@ def main():
         jax.device_get(variables["params"]), [float(s) for s in scales],
         NUM_CONV, pack=2)
 
+    def apply_packed(p, x):
+        return packed_srvgg_forward(p, x, NUM_CONV, 4)
+
     def apply_int8(p, x):
-        return quantized_srvgg_forward(p, x.astype(jnp.float32), NUM_CONV,
-                                       4, pack=2)
+        return quantized_srvgg_forward(p, x, NUM_CONV, 4, pack=2)
 
-    best, best_bs, best_mode = 0.0, 1, "plain"
-    for mode, apply_fn, p in (("packed2-bf16", apply_packed, packed),
-                              ("packed2-int8", apply_int8, qparams)):
-        for bs in (8,):
-            x = jnp.asarray(rng.random((bs, size, size, 3), np.float32),
-                            jnp.bfloat16)
-            try:
-                ms = onchip_ms(apply_fn, p, x)
-            except Exception as e:
-                log(f"SRVGG {mode} failed: {e}")
-                continue
-            tps = bs / (ms / 1e3)
-            log(f"SRVGG x4 {size}² {mode} bs={bs}: {ms:.2f} ms → "
-                f"{tps:.1f} tiles/s")
-            if tps > best:
-                best, best_bs, best_mode = tps, bs, mode
-
-    # int8 quality vs bf16 on one tile batch (smaller size: avoid big fetch)
+    # ---- quality gate on REAL content at the served tile size
+    gate_db = float("nan")
     try:
-        xs = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
-        ref_out = np.asarray(jax.jit(apply_packed)(
-            packed, xs.astype(jnp.bfloat16))).astype(np.float32)
-        q_out = np.asarray(jax.jit(apply_int8)(qparams, xs))
+        tiles_np, real = real_tiles(size, 2, rng)
+        xs = jnp.asarray(tiles_np, jnp.bfloat16)
+        ref_out = np.asarray(jax.jit(apply_packed)(packed, xs)).astype(
+            np.float32)
+        q_out = np.asarray(jax.jit(apply_int8)(qparams, xs)).astype(
+            np.float32)
         mse = float(np.mean((ref_out - q_out) ** 2))
         span = float(ref_out.max() - ref_out.min()) or 1.0
-        log(f"int8 PTQ vs bf16 PSNR: "
-            f"{10 * np.log10(span ** 2 / max(mse, 1e-12)):.1f} dB")
+        gate_db = 10 * np.log10(span ** 2 / max(mse, 1e-12))
+        log(f"int8 PTQ vs bf16 PSNR @ {size}² "
+            f"({'REAL test_images' if real else 'synthetic'}): "
+            f"{gate_db:.1f} dB (gate ≥ {QUALITY_GATE_DB})")
     except Exception as e:
-        log(f"int8 quality check failed: {e}")
+        log(f"quality gate failed to run: {e}")
+
+    int8_ok = np.isfinite(gate_db) and gate_db >= QUALITY_GATE_DB
+
+    # ---- headline timing
+    best, best_mode = 0.0, "packed2-bf16"
+    modes = [("packed2-bf16", apply_packed, packed)]
+    if int8_ok:
+        modes.append(("packed2-int8", apply_int8, qparams))
+    for mode, apply_fn, p in modes:
+        x = jnp.asarray(rng.random((BS, size, size, 3), np.float32),
+                        jnp.bfloat16)
+        try:
+            ms = onchip_ms(apply_fn, p, x)
+        except Exception as e:
+            log(f"SRVGG {mode} failed: {e}")
+            continue
+        tps = BS / (ms / 1e3)
+        log(f"SRVGG x4 {size}² {mode} bs={BS}: {ms:.2f} ms → "
+            f"{tps:.1f} tiles/s")
+        if tps > best:
+            best, best_mode = tps, mode
 
     result = {
         "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
-                  f"(bs={best_bs}, {best_mode}, on-chip)",
+                  f"(bs={BS}, {best_mode}, PSNR-gated ≥{QUALITY_GATE_DB}dB"
+                  f" on real images: {gate_db:.1f}dB, on-chip)",
         "value": round(best, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
     }
     print(json.dumps(result), flush=True)
 
+    # ---- diagnostics (after the headline JSON: a timeout here must not
+    # lose the result)
+    try:
+        # halo sensitivity: tiled bf16 vs full-image bf16 (random weights
+        # = worst case)
+        from image_restoration_tpu.parallel.tiling import tiled_apply
+        full_np, real = real_tiles(1024, 2, rng)
+        full = jnp.asarray(full_np)
+        want = np.asarray(jax.jit(apply_packed)(
+            packed, full.astype(jnp.bfloat16))).astype(np.float32)
+        for halo in (16, HALO):
+            got = np.asarray(tiled_apply(
+                lambda x: apply_int8(qparams, x), full, tile=TILE,
+                halo=halo, scale=4)).astype(np.float32)
+            mse = float(np.mean((got - want) ** 2))
+            log(f"tiled-int8 halo={halo} vs full-bf16 PSNR "
+                f"(worst-case random weights): "
+                f"{10 * np.log10(1.0 / max(mse, 1e-12)):.2f} dB")
+    except Exception as e:
+        log(f"halo diagnostic failed: {e}")
 
-    # ---- diagnostics (after the headline JSON: a timeout here must
-    # not lose the result)
-    # (packed-g RRDBNet exists in ops/packed_inference.py and is exact, but
-    # its 345-conv packed graph exceeds the axon remote-compile budget at
-    # 544²; the diagnostic measures the plain forward.)
     try:
         rrdb = build_network(dict(type="RRDBNet", scale=4, num_feat=64,
                                   num_block=23, dtype=jnp.bfloat16))
@@ -161,7 +215,7 @@ def main():
                          jnp.bfloat16)
         vr = jax.jit(rrdb.init)(jax.random.PRNGKey(0), xr)
         ms = onchip_ms(lambda p, x: rrdb.apply({"params": p}, x),
-                       vr["params"], xr, iters=3)
+                       vr["params"], xr, iters=3, repeats=1)
         log(f"RRDBNet-23 x4 {size}² bf16 bs=1: {ms:.1f} ms → "
             f"{1e3 / ms:.1f} tiles/s")
     except Exception as e:  # diagnostics must not break the headline
@@ -181,12 +235,11 @@ def main():
         ms = onchip_ms(
             lambda p, x: gfp.apply({"params": p}, x,
                                    randomize_noise=False)[0],
-            vg["params"], xg, iters=5)
+            vg["params"], xg, iters=5, repeats=1)
         log(f"GFPGANv1OCR 256² bf16 bs=4: {ms:.1f} ms → "
             f"{4e3 / ms:.1f} imgs/s")
     except Exception as e:
         log(f"GFPGAN diag failed: {e}")
-
 
 
 if __name__ == "__main__":

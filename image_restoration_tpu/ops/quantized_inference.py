@@ -73,7 +73,16 @@ def quantize_srvgg_params(params: Dict, act_scales: List[float],
         q[f"a_{i}"] = jnp.tile(
             jnp.asarray(np.asarray(params[f"prelu_{i}"], np.float32),
                         jnp.bfloat16), pack)
-        q[f"s_out_{i}"] = jnp.bfloat16(act_scales[i + 1])
+        # fold the requant scale 127/s_out INTO the dequant constants:
+        # PReLU commutes with a positive scale, so
+        #   round(PReLU(acc·deq + b)·127/s_out)
+        # = round(PReLU(acc·(deq·127/s_out) + b·127/s_out))
+        # — one fewer full-tensor multiply per layer on the VPU.
+        r = 127.0 / float(act_scales[i + 1])
+        q[f"deq_{i}"] = (q[f"deq_{i}"].astype(jnp.float32) * r).astype(
+            jnp.bfloat16)
+        q[f"b_{i}"] = (q[f"b_{i}"].astype(jnp.float32) * r).astype(
+            jnp.bfloat16)
     quant_layer(params["conv_last"]["kernel"], params["conv_last"]["bias"],
                 act_scales[num_conv + 1], "last")
     q["s_in_0"] = jnp.float32(act_scales[0])
@@ -97,14 +106,15 @@ def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
         acc = jax.lax.conv_general_dilated(
             hq, q[f"w_{i}"], (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=dn, preferred_element_type=jnp.int32)
+        # deq/b carry the folded 127/s_out requant scale; PReLU is
+        # positive-scale invariant so alpha is applied in the scaled domain
         hf = acc.astype(jnp.bfloat16) * q[f"deq_{i}"] + q[f"b_{i}"]
         hf = jnp.where(hf >= 0, hf, hf * q[f"a_{i}"])
-        hq = to_int8(hf, q[f"s_out_{i}"])
+        hq = jnp.clip(jnp.round(hf), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         hq, q["w_last"], (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    out = (acc.astype(jnp.bfloat16) * q["deq_last"]
-           + q["b_last"]).astype(jnp.float32)
+    out = acc.astype(jnp.bfloat16) * q["deq_last"] + q["b_last"]
 
     oc = 3 * upscale ** 2
     out = jnp.concatenate([out[..., i * oc:(i + 1) * oc]
@@ -113,4 +123,6 @@ def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
     r = upscale
     base = jnp.broadcast_to(x[:, :, None, :, None, :],
                             (n, h, r, w, r, c)).reshape(n, h * r, w * r, c)
-    return out + base
+    # serve in bf16: the 4×-upscaled output is the single biggest HBM
+    # write; serving casts to uint8 anyway
+    return out + base.astype(jnp.bfloat16)
