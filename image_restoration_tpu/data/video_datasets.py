@@ -61,6 +61,9 @@ class REDSDataset:
     def __len__(self):
         return len(self.keys)
 
+    def device_pipeline(self):
+        return None  # video degradations are pre-rendered on disk
+
     def __getitem__(self, index):
         import cv2
         scale = self.opt.get("scale", 4)
@@ -148,6 +151,9 @@ class Vimeo90KDataset:
     def __len__(self):
         return len(self.keys)
 
+    def device_pipeline(self):
+        return None
+
     def __getitem__(self, index):
         scale = self.opt.get("scale", 4)
         gt_size = self.opt.get("gt_size", 256)
@@ -187,6 +193,9 @@ class VideoTestDataset:
     def __len__(self):
         return len(self.items)
 
+    def device_pipeline(self):
+        return None
+
     def _frame(self, root, folder, idx):
         frames = sorted(scandir(osp.join(root, folder)))
         return imfrombytes(self.client.get(
@@ -201,3 +210,84 @@ class VideoTestDataset:
         gt = self._frame(self.gt_root, folder, i)
         return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
                 "gt": gt[..., ::-1].copy(), "folder": folder, "idx": i}
+
+
+def duf_downsample(x: np.ndarray, kernel_size: int = 13,
+                   scale: int = 4) -> np.ndarray:
+    """DUF official gaussian downsampling (ref data_util.py:283-313).
+
+    x: (T, H, W, C) float frames → (T, H', W', C). Host-side numpy (this
+    feeds the eval dataloader; training DUF synthesis is on-device).
+    """
+    assert scale in (2, 3, 4), f"Only support scale (2, 3, 4), got {scale}"
+    # gaussian kernel, sigma = 0.4 * scale (ref generate_gaussian_kernel)
+    from scipy import signal
+    sigma = 0.4 * scale
+    g1 = signal.windows.gaussian(kernel_size, std=sigma)
+    kernel = np.outer(g1, g1)
+    kernel /= kernel.sum()
+
+    pad = kernel_size // 2 + scale * 2
+    t, h, w, c = x.shape
+    out = []
+    for f in range(t):
+        chans = []
+        for ci in range(c):
+            img = np.pad(x[f, :, :, ci], pad, mode="reflect")
+            blurred = signal.convolve2d(img, kernel, mode="valid")
+            sub = blurred[::scale, ::scale]
+            chans.append(sub[2:-2, 2:-2])
+        out.append(np.stack(chans, axis=-1))
+    return np.stack(out)
+
+
+def _mod_crop(img: np.ndarray, scale: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[:h - h % scale, :w - w % scale]
+
+
+@DATASET_REGISTRY.register()
+class VideoRecurrentTestDataset(VideoTestDataset):
+    """Whole-clip eval items for recurrent models (ref
+    video_test_dataset.py:255-287): one item per folder, lq/gt (T,H,W,C)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+
+    def __len__(self):
+        return len(self.folders)
+
+    def __getitem__(self, index):
+        folder = self.folders[index]
+        frames = sorted(scandir(osp.join(self.lq_root, folder)))
+        lqs = [self._frame(self.lq_root, folder, i)
+               for i in range(len(frames))]
+        gts = [self._frame(self.gt_root, folder, i)
+               for i in range(len(frames))]
+        return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
+                "gt": np.stack([f[..., ::-1] for f in gts]).copy(),
+                "folder": folder}
+
+
+@DATASET_REGISTRY.register()
+class VideoTestDUFDataset(VideoTestDataset):
+    """VideoTestDataset + optional on-the-fly DUF gaussian downsampling of
+    the GT frames (ref video_test_dataset.py:202-252)."""
+
+    def __getitem__(self, index):
+        folder, i, total = self.items[index]
+        half = self.num_frame // 2
+        idxs = [min(max(j, 0), total - 1)
+                for j in range(i - half, i + half + 1)]
+        scale = self.opt.get("scale", 4)
+        if self.opt.get("use_duf_downsampling"):
+            gts = np.stack([_mod_crop(self._frame(self.gt_root, folder, j),
+                                      scale) for j in idxs])
+            lqs = duf_downsample(gts, kernel_size=13, scale=scale)
+        else:
+            lqs = np.stack([self._frame(self.lq_root, folder, j)
+                            for j in idxs])
+        gt = _mod_crop(self._frame(self.gt_root, folder, i), scale)
+        return {"lq": np.ascontiguousarray(lqs[..., ::-1]),
+                "gt": np.ascontiguousarray(gt[..., ::-1]),
+                "folder": folder, "idx": i}

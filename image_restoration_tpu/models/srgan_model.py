@@ -28,39 +28,67 @@ class SRGANModel(SRModel):
             (opt.get("datasets", {}).get("train", {}) or {}).get("gt_size",
                                                                  128)
         example = jnp.zeros((1, gt_size, gt_size, 3), jnp.float32)
-        params_d = self.init_params(self.net_d, example)
+        variables_d = jax.jit(
+            lambda k, x: self.net_d.init(k, x))(
+            jax.random.PRNGKey(opt.get("manual_seed", 0) or 0), example)
+        params_d = variables_d["params"]
         self.cri_gan = build_loss(train_opt["gan_opt"])
         self.net_d_iters = train_opt.get("net_d_iters", 1)
         self.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
         self.tx_d = self.make_optimizer("optim_d", params_d)
         extra = {"params_d": params_d, "opt_d": self.tx_d.init(params_d)}
+        # BatchNorm discriminators (VGGStyleDiscriminator*) carry running
+        # stats; like torch .train(), the D always runs in batch-stat mode
+        # during training, and the running averages are refreshed once per
+        # step for later eval/export.
+        if "batch_stats" in variables_d:
+            extra["stats_d"] = variables_d["batch_stats"]
         self.state = dict(self.state, **self.replicate(extra))
 
-    def _d_apply(self, params, x, train=True):
-        out = self.net_d.apply({"params": params}, x)
+    def _d_apply(self, params, x, train=True, stats=None):
+        variables = {"params": params}
+        if stats is not None:
+            variables["batch_stats"] = stats
+            # batch-stat mode always writes the running averages; the
+            # in-step mutation is discarded (see _refresh_d_stats)
+            out, _ = self.net_d.apply(variables, x, train=True,
+                                      mutable=["batch_stats"])
+        else:
+            out = self.net_d.apply(variables, x)
         if isinstance(out, tuple):
             out = out[0]
         return out
 
-    def _gan_g_loss(self, params_d, output, gt):
-        fake_pred = self._d_apply(params_d, output)
+    def _gan_g_loss(self, params_d, output, gt, stats=None):
+        fake_pred = self._d_apply(params_d, output, stats=stats)
         return self.cri_gan(fake_pred, True, is_disc=False)
 
-    def _gan_d_losses(self, params_d, output, gt):
-        real = self._d_apply(params_d, gt)
-        fake = self._d_apply(params_d, jax.lax.stop_gradient(output))
+    def _gan_d_losses(self, params_d, output, gt, stats=None):
+        real = self._d_apply(params_d, gt, stats=stats)
+        fake = self._d_apply(params_d, jax.lax.stop_gradient(output),
+                             stats=stats)
         l_real = self.cri_gan(real, True, is_disc=True)
         l_fake = self.cri_gan(fake, False, is_disc=True)
         return l_real + l_fake, {"l_d_real": l_real, "l_d_fake": l_fake,
                                  "real_score": jnp.mean(real),
                                  "fake_score": jnp.mean(fake)}
 
+    def _refresh_d_stats(self, params_d, stats, output, gt):
+        """Advance the D running stats from this step's real+fake batches
+        (bookkeeping only — batch-stat mode never READS them)."""
+        for batch in (gt, jax.lax.stop_gradient(output)):
+            _, upd = self.net_d.apply(
+                {"params": params_d, "batch_stats": stats}, batch,
+                train=True, mutable=["batch_stats"])
+            stats = upd["batch_stats"]
+        return stats
+
     def _build_train_step(self):
         tx_g, tx_d = self.tx_g, self.tx_d
         degrade = self.degrade_fn
         cri_pix, cri_perceptual = self.cri_pix, self.cri_perceptual
 
-        def g_loss(params_g, params_d, lq, gt):
+        def g_loss(params_g, params_d, lq, gt, **kwargs):
             out = self.net_g.apply({"params": params_g}, lq)
             if isinstance(out, tuple):
                 out = out[0]
@@ -78,29 +106,40 @@ class SRGANModel(SRModel):
                 if l_s is not None:
                     total += l_s
                     losses["l_g_style"] = l_s
-            l_gan = self._gan_g_loss(params_d, out, gt)
+            l_gan = self._gan_g_loss(params_d, out, gt,
+                                     stats=kwargs.get("stats"))
             total += l_gan
             losses["l_g_gan"] = l_gan
             return total, (losses, out)
 
-        @jax.jit
-        def step(state, batch, rng, update_g):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("update_g",))
+        def step(state, batch, rng, update_g: bool):
             if degrade is not None:
                 lq, gt = degrade(rng, batch["gt"])
             else:
                 lq, gt = batch["lq"], batch["gt"]
-            (_, (losses, out)), grads = jax.value_and_grad(
-                g_loss, has_aux=True)(state["params_g"], state["params_d"],
-                                      lq, gt)
-            # gate the G update on net_d_iters / net_d_init_iters
-            grads = jax.tree.map(lambda g: g * update_g, grads)
-            updates, opt_g = tx_g.update(grads, state["opt_g"],
-                                         state["params_g"])
-            params_g = optax.apply_updates(state["params_g"], updates)
+            stats = state.get("stats_d")
+            if update_g:
+                (_, (losses, out)), grads = jax.value_and_grad(
+                    g_loss, has_aux=True)(state["params_g"],
+                                          state["params_d"], lq, gt,
+                                          stats=stats)
+                updates, opt_g = tx_g.update(grads, state["opt_g"],
+                                             state["params_g"])
+                params_g = optax.apply_updates(state["params_g"], updates)
+            else:
+                # skip iter (ref srgan_model.py:93): no optimizer_g.step()
+                out = self.net_g.apply({"params": state["params_g"]}, lq)
+                if isinstance(out, tuple):
+                    out = out[0]
+                losses = {}
+                params_g, opt_g = state["params_g"], state["opt_g"]
             ema = self.ema_update(state["ema_g"], params_g, self.ema_decay)
 
             (l_d, d_losses), d_grads = jax.value_and_grad(
-                lambda pd: self._gan_d_losses(pd, out, gt),
+                lambda pd: self._gan_d_losses(pd, out, gt, stats=stats),
                 has_aux=True)(state["params_d"])
             d_updates, opt_d = tx_d.update(d_grads, state["opt_d"],
                                            state["params_d"])
@@ -110,12 +149,17 @@ class SRGANModel(SRModel):
             new_state = dict(state, params_g=params_g, ema_g=ema,
                              opt_g=opt_g, params_d=params_d, opt_d=opt_d,
                              iter=state["iter"] + 1)
+            if stats is not None:
+                new_state["stats_d"] = self._refresh_d_stats(
+                    params_d, stats, out, gt)
             return new_state, losses
 
         def stepper(state, batch, rng):
-            it = int(state["iter"])
-            update_g = float(it % self.net_d_iters == 0
-                             and it > self.net_d_init_iters)
-            return step(state, batch, rng, jnp.float32(update_g))
+            # reference gates on current_iter (1-based); state["iter"]
+            # counts completed steps
+            it = int(state["iter"]) + 1
+            update_g = bool(it % self.net_d_iters == 0
+                            and it > self.net_d_init_iters)
+            return step(state, batch, rng, update_g=update_g)
 
         return stepper

@@ -30,8 +30,11 @@ class VideoBaseModel(SRModel):
 
     def __init__(self, opt: dict):
         opt = dict(opt)
-        self._num_frame = (opt.get("datasets", {}).get("train", {})
-                           or {}).get("num_frame", 5)
+        # frame-windowed nets (EDVR) fix num_frame in the arch; recurrent
+        # nets take any T, so fall back to the train-dataset window
+        self._num_frame = (opt.get("network_g", {}).get("num_frame")
+                           or (opt.get("datasets", {}).get("train", {})
+                               or {}).get("num_frame", 5))
         super().__init__(opt)
 
     def init_params(self, net, example, **kw):
@@ -46,10 +49,13 @@ class VideoBaseModel(SRModel):
         per_folder = defaultdict(lambda: defaultdict(list))
         for batch in dataloader:
             out = np.asarray(self.test(jnp.asarray(batch["lq"])))
-            if out.ndim == 5:  # recurrent: take matching frames
+            gt_arr = np.asarray(batch["gt"])
+            if out.ndim == 5:  # recurrent whole-clip output
+                if gt_arr.ndim == 5:  # clip gt: score the center frame
+                    gt_arr = gt_arr[:, gt_arr.shape[1] // 2]
                 out = out[:, out.shape[1] // 2]
             sr = tensor2img(out)
-            gt = tensor2img(batch["gt"])
+            gt = tensor2img(gt_arr)
             folder = batch.get("folder", ["all"])[0]
             for name, m_opt in metrics_opt.items():
                 per_folder[folder][name].append(calculate_metric(

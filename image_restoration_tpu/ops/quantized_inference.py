@@ -90,8 +90,17 @@ def quantize_srvgg_params(params: Dict, act_scales: List[float],
 
 
 def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
-                            upscale: int = 4, pack: int = 2) -> jax.Array:
-    """x: (N,H,W,3) float [0,1], N divisible by `pack` → float output."""
+                            upscale: int = 4, pack: int = 2,
+                            crop_halo: int = 0) -> jax.Array:
+    """x: (N,H,W,3) float [0,1], N divisible by `pack` → bf16 output.
+
+    crop_halo > 1: the input carries a `crop_halo`-pixel tile halo whose
+    OUTPUT is discarded by the tiler anyway — crop to halo-1 before
+    conv_last (1 px of context keeps the interior exact under SAME
+    padding) and drop the ring before the pixel-shuffle tail, so conv_last
+    + pixel-shuffle + the residual upsample + the HBM output write all run
+    at the tile size, not the haloed size. Output: (N, tile·r, tile·r, 3).
+    """
     n, h, w, c = x.shape
     dn = ("NHWC", "HWIO", "NHWC")
     hp = jnp.concatenate([x[i * n // pack:(i + 1) * n // pack]
@@ -111,10 +120,17 @@ def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
         hf = acc.astype(jnp.bfloat16) * q[f"deq_{i}"] + q[f"b_{i}"]
         hf = jnp.where(hf >= 0, hf, hf * q[f"a_{i}"])
         hq = jnp.clip(jnp.round(hf), -127, 127).astype(jnp.int8)
+    if crop_halo > 1:
+        k = crop_halo - 1
+        hq = hq[:, k:-k, k:-k, :]
+        x = x[:, crop_halo:-crop_halo, crop_halo:-crop_halo, :]
+        h, w = x.shape[1], x.shape[2]
     acc = jax.lax.conv_general_dilated(
         hq, q["w_last"], (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
         preferred_element_type=jnp.int32)
     out = acc.astype(jnp.bfloat16) * q["deq_last"] + q["b_last"]
+    if crop_halo > 1:
+        out = out[:, 1:-1, 1:-1, :]
 
     oc = 3 * upscale ** 2
     out = jnp.concatenate([out[..., i * oc:(i + 1) * oc]

@@ -61,12 +61,16 @@ def untile_image(tiles: jax.Array, grid: Tuple[int, int, int, int],
 
 def tiled_apply(fn: Callable, img: jax.Array, tile: int, halo: int,
                 scale: int = 1, tile_batch: Optional[int] = None,
-                mesh: Optional[Mesh] = None, axis: str = "data") -> jax.Array:
+                mesh: Optional[Mesh] = None, axis: str = "data",
+                out_halo: Optional[int] = None) -> jax.Array:
     """Apply `fn` (NHWC→NHWC, ×scale) tile-wise with reflect halos.
 
     tile_batch: process the tile grid in chunks of this many tiles (bounds
     peak memory). With a mesh, each chunk is sharded over `axis` so tiles
     run data-parallel across chips.
+    out_halo: halo remaining on fn's OUTPUT — pass 0 when fn crops the
+    halo internally (e.g. quantized_srvgg_forward(crop_halo=...), which
+    keeps conv_last + the pixel-shuffle tail at tile size). Default: halo.
     """
     tiles, grid = tile_image(img, tile, halo)
     num = tiles.shape[0]
@@ -85,5 +89,5 @@ def tiled_apply(fn: Callable, img: jax.Array, tile: int, halo: int,
         if pad:
             out = out[:tile_batch - pad]
         outs.append(out)
-    return untile_image(jnp.concatenate(outs, axis=0), grid, tile, halo,
-                        scale)
+    return untile_image(jnp.concatenate(outs, axis=0), grid, tile,
+                        halo if out_halo is None else out_halo, scale)
