@@ -34,7 +34,26 @@ from . import tof_arch  # noqa: F401
 
 
 def build_network(opt):
-    """Instantiate a flax module from a config dict with a `type:` key."""
+    """Instantiate a flax module from a config dict with a `type:` key.
+
+    Accepts the reference's square `out_size` spelling for the rectangle-
+    aware StyleGAN archs (mapped to input_width == input_height), and list
+    values for tuple-typed fields.
+    """
     opt = deepcopy(opt)
     network_type = opt.pop("type")
-    return ARCH_REGISTRY.get(network_type)(**opt)
+    cls = ARCH_REGISTRY.get(network_type)
+    fields = getattr(cls, "__dataclass_fields__", {})
+    if ("out_size" in opt and "out_size" not in fields
+            and "input_width" in fields):
+        size = opt.pop("out_size")
+        opt.setdefault("input_width", size)
+        opt.setdefault("input_height", size)
+    if "syncbn" in opt and "syncbn" not in fields:
+        # Under pjit the whole (sharded) batch feeds one traced BatchNorm,
+        # so batch stats are already global — SyncBN is inherent. The
+        # axis_name field only matters for shard_map/pmap trainers.
+        opt.pop("syncbn")
+    opt = {k: tuple(v) if isinstance(v, list) else v
+           for k, v in opt.items()}
+    return cls(**opt)

@@ -33,12 +33,16 @@ def _conv3d(x, features, kernel, name, module, padding=None, use_bias=True):
 
 
 class _BN(nn.Module):
+    """BatchNorm; eps 1e-3 matches the official-weights variant (ref
+    duf_arch.py:25-30 — pytorch-default eps 1e-5 when training fresh)."""
     dtype: Dtype = None
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(use_running_average=not train, momentum=0.999,
-                            epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+                            epsilon=self.epsilon, dtype=self.dtype,
+                            name="bn")(x)
 
 
 def dynamic_upsampling_filter(x, filters, filter_size=(5, 5)):
@@ -66,15 +70,16 @@ class DenseBlocks(nn.Module):
     num_block: int
     num_feat: int = 64
     num_grow_ch: int = 16
+    bn_eps: float = 1e-3
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_block):
-            y = _BN(self.dtype, name=f"bn1_{i}")(x, train)
+            y = _BN(self.dtype, self.bn_eps, name=f"bn1_{i}")(x, train)
             y = jax.nn.relu(y)
             y = _conv3d(y, x.shape[-1], (1, 1, 1), f"conv1_{i}", self)
-            y = _BN(self.dtype, name=f"bn2_{i}")(y, train)
+            y = _BN(self.dtype, self.bn_eps, name=f"bn2_{i}")(y, train)
             y = jax.nn.relu(y)
             y = _conv3d(y, self.num_grow_ch, (3, 3, 3), f"conv2_{i}", self)
             x = jnp.concatenate([x, y], axis=-1)
@@ -84,15 +89,16 @@ class DenseBlocks(nn.Module):
 class DenseBlocksTemporalReduce(nn.Module):
     """3 dense blocks that shrink T by 2 each (ref :9-78)."""
     num_grow_ch: int = 32
+    bn_eps: float = 1e-3
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(3):
-            y = _BN(self.dtype, name=f"bn1_{i}")(x, train)
+            y = _BN(self.dtype, self.bn_eps, name=f"bn1_{i}")(x, train)
             y = jax.nn.relu(y)
             y = _conv3d(y, x.shape[-1], (1, 1, 1), f"conv1_{i}", self)
-            y = _BN(self.dtype, name=f"bn2_{i}")(y, train)
+            y = _BN(self.dtype, self.bn_eps, name=f"bn2_{i}")(y, train)
             y = jax.nn.relu(y)
             y = _conv3d(y, self.num_grow_ch, (3, 3, 3), f"conv2_{i}", self,
                         padding=((0, 0), (1, 1), (1, 1)))
@@ -102,9 +108,14 @@ class DenseBlocksTemporalReduce(nn.Module):
 
 @ARCH_REGISTRY.register()
 class DUF(nn.Module):
-    """DUF (ref :189-283). Input (N,T,H,W,3) with T=7; returns center ×scale."""
+    """DUF (ref :189-283). Input (N,T,H,W,3) with T=7; returns center ×scale.
+
+    `adapt_official_weights` selects BN eps 1e-3 (official TF-converted
+    checkpoints) vs the pytorch-default 1e-5 (ref duf_arch.py:25-30,97-102).
+    """
     scale: int = 4
     num_layer: int = 52
+    adapt_official_weights: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -116,15 +127,16 @@ class DUF(nn.Module):
             num_block, num_grow_ch = 9, 16
         else:
             num_block, num_grow_ch = 21, 16
+        eps = 1e-3 if self.adapt_official_weights else 1e-5
 
         x_center = x[:, t // 2]
         feat = _conv3d(x, 64, (1, 3, 3), "conv3d1", self)
-        feat = DenseBlocks(num_block, 64, num_grow_ch, name="dense_block1",
-                           dtype=self.dtype)(feat, train)
+        feat = DenseBlocks(num_block, 64, num_grow_ch, bn_eps=eps,
+                           name="dense_block1", dtype=self.dtype)(feat, train)
         feat = DenseBlocksTemporalReduce(
             num_grow_ch * 2 if self.num_layer == 16 else num_grow_ch,
-            name="dense_block2", dtype=self.dtype)(feat, train)
-        feat = jax.nn.relu(_BN(self.dtype, name="bn3d2")(feat, train))
+            bn_eps=eps, name="dense_block2", dtype=self.dtype)(feat, train)
+        feat = jax.nn.relu(_BN(self.dtype, eps, name="bn3d2")(feat, train))
         feat = jax.nn.relu(_conv3d(feat, 256, (1, 3, 3), "conv3d2", self))
 
         # residual branch

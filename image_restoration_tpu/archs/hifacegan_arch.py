@@ -99,8 +99,24 @@ class SimplifiedLIP(nn.Module):
 
 @ARCH_REGISTRY.register()
 class SPADEGenerator(nn.Module):
-    """SPADE decoder (ref hifacegan_arch.py:10-142)."""
+    """SPADE decoder (ref hifacegan_arch.py:10-142).
+
+    The reference signature is accepted in full (:13-21); in this redesign
+    `use_vae`/`z_dim` are inert (the VAE path is disabled upstream too),
+    `crop_size` only fixes the seed resolution implied by the input,
+    `norm_g` always resolves to the parameter-free instance norm the
+    reference's single-process path uses (hifacegan_util.py:22-27), and
+    `is_train`/`init_train_phase` (progressive training, disabled in the
+    reference) are kept for config parity.
+    """
+    num_in_ch: int = 3
     num_feat: int = 64
+    use_vae: bool = False
+    z_dim: int = 256
+    crop_size: int = 512
+    norm_g: str = "spectralspadesyncbatch3x3"
+    is_train: bool = True
+    init_train_phase: int = 3
     ups_num: int = 5  # 1024→32 encoder depth / decoder upsamples
     dtype: Dtype = None
 
@@ -189,10 +205,19 @@ class NLayerDiscriminator(nn.Module):
 
 @ARCH_REGISTRY.register()
 class HiFaceGANDiscriminator(nn.Module):
-    """Multi-scale PatchGAN over cat(input, output) (ref :168-259)."""
+    """Multi-scale PatchGAN over cat(input, output) (ref :168-259).
+
+    `conditional_d` means the caller concatenates (lq, img) channelwise
+    before the call; `norm_d` resolves to the parameter-free instance norm
+    (`spectralinstance`) used by the reference default.
+    """
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    conditional_d: bool = True
     num_d: int = 2
+    n_layers_d: int = 4
     num_feat: int = 64
-    n_layers: int = 4
+    norm_d: str = "spectralinstance"
     dtype: Dtype = None
 
     @nn.compact
@@ -201,7 +226,7 @@ class HiFaceGANDiscriminator(nn.Module):
         h = x
         for i in range(self.num_d):
             outs.append(NLayerDiscriminator(
-                self.num_feat, self.n_layers, name=f"d_{i}",
+                self.num_feat, self.n_layers_d, name=f"d_{i}",
                 dtype=self.dtype)(h))
             if i != self.num_d - 1:
                 h = nn.avg_pool(h, (3, 3), strides=(2, 2),

@@ -120,6 +120,7 @@ class FFHQDegradationDataset(_BaseDataset):
             color_jitter_shift=opt.get("color_jitter_shift", 20) / 255.0,
             color_jitter_pt_prob=opt.get("color_jitter_pt_prob"),
             gray_prob=opt.get("gray_prob", 0.0),
+            gt_gray=bool(opt.get("gt_gray", False)),
             use_hflip=opt.get("use_hflip", False),
             mean=tuple(self.mean), std=tuple(self.std))
         return make_ffhq_degradation(cfg)
@@ -232,16 +233,24 @@ class PairedImageDataset(_BaseDataset):
         self.mean = opt.get("mean")
         self.std = opt.get("std")
         gt_folder, lq_folder = opt["dataroot_gt"], opt["dataroot_lq"]
+        # LQ filename template over the GT stem, e.g. '{}x2' (ref
+        # paired_image_dataset.py:62 + data_util paired_paths_from_folder)
+        tmpl = opt.get("filename_tmpl", "{}")
+
+        def lq_name(name):
+            stem, ext = osp.splitext(name)
+            return tmpl.format(stem) + ext
+
         if opt.get("meta_info_file"):
             with open(opt["meta_info_file"]) as f:
                 names = [line.strip().split(" ")[0] for line in f]
-            self.paths = [(osp.join(lq_folder, n), osp.join(gt_folder, n))
-                          for n in names]
+            self.paths = [(osp.join(lq_folder, lq_name(n)),
+                           osp.join(gt_folder, n)) for n in names]
         else:
             gt_paths = sorted(scandir(gt_folder,
                                       suffix=("png", "jpg", "jpeg", "bmp")))
-            self.paths = [(osp.join(lq_folder, p), osp.join(gt_folder, p))
-                          for p in gt_paths]
+            self.paths = [(osp.join(lq_folder, lq_name(p)),
+                           osp.join(gt_folder, p)) for p in gt_paths]
         self.client = FileClient("disk")
 
     def __getitem__(self, index: int):

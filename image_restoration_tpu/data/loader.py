@@ -106,10 +106,13 @@ class DataLoader:
         stop = object()
 
         def worker():
-            for batch_idx in batches:
-                samples = [self.dataset[int(i)] for i in batch_idx]
-                out_q.put(self._collate(samples))
-            out_q.put(stop)
+            try:
+                for batch_idx in batches:
+                    samples = [self.dataset[int(i)] for i in batch_idx]
+                    out_q.put(self._collate(samples))
+                out_q.put(stop)
+            except BaseException as e:  # propagate instead of hanging
+                out_q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -117,6 +120,8 @@ class DataLoader:
             item = out_q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

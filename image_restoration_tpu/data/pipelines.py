@@ -50,6 +50,7 @@ class FFHQDegradationConfig:
     color_jitter_shift: float = 20.0 / 255.0
     color_jitter_pt_prob: Optional[float] = 0.3
     gray_prob: float = 0.01
+    gt_gray: bool = False
     use_hflip: bool = False
     mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
@@ -107,9 +108,11 @@ def make_ffhq_degradation(cfg: FFHQDegradationConfig):
                                       (n, 1, 1, 1))
             lq = jnp.where(do, D.color_jitter(keys[6], lq,
                                               cfg.color_jitter_shift), lq)
-        # ---- gray
+        # ---- gray (gt_gray also grays the target, ref :282-287)
         if cfg.gray_prob:
             lq = D.random_grayscale(keys[7], lq, cfg.gray_prob)
+            if cfg.gt_gray:  # same per-sample gate (same key, same prob)
+                gt = D.random_grayscale(keys[7], gt, cfg.gray_prob)
         # ---- pt-style jitter
         if cfg.color_jitter_pt_prob is not None:
             do = jax.random.bernoulli(keys[8], cfg.color_jitter_pt_prob,

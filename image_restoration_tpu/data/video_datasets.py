@@ -33,21 +33,23 @@ class REDSDataset:
         self.num_frame = opt.get("num_frame", 5)
         self.num_half = self.num_frame // 2
         self.client = FileClient("disk")
+        self.clip_frames = {}  # frames per clip (REDS ships 100)
         if opt.get("meta_info_file"):
             with open(opt["meta_info_file"]) as f:
                 self.keys = []
                 for line in f:
                     clip, num = line.strip().split(" ")[:2]
+                    self.clip_frames[clip] = int(num)
                     self.keys.extend(f"{clip}/{i:08d}"
                                      for i in range(int(num)))
         else:
-            clips = sorted(scandir(self.gt_root, recursive=False)) or []
             import os
             clips = [d for d in os.listdir(self.gt_root)
                      if osp.isdir(osp.join(self.gt_root, d))]
             self.keys = []
             for clip in sorted(clips):
                 frames = sorted(scandir(osp.join(self.gt_root, clip)))
+                self.clip_frames[clip] = len(frames)
                 self.keys.extend(f"{clip}/{osp.splitext(f)[0]}"
                                  for f in frames)
         # the reference excludes REDS4 validation clips (:72-76)
@@ -76,7 +78,7 @@ class REDSDataset:
         # temporally valid window (ref :118-135)
         start = center - self.num_half * interval
         end = center + self.num_half * interval
-        max_frame = 99  # REDS clips have 100 frames
+        max_frame = self.clip_frames.get(clip_name, 100) - 1
         while start < 0 or end > max_frame:
             center = random.randint(self.num_half * interval,
                                     max_frame - self.num_half * interval)
@@ -114,8 +116,9 @@ class REDSRecurrentDataset(REDSDataset):
         key = self.keys[index]
         clip_name, frame_name = key.split("/")
         start = int(frame_name)
-        if start > 100 - self.num_frame:
-            start = random.randint(0, 100 - self.num_frame)
+        total = self.clip_frames.get(clip_name, 100)
+        if start > total - self.num_frame:
+            start = random.randint(0, total - self.num_frame)
         frames = list(range(start, start + self.num_frame))
         lqs, gts = [], []
         for i in frames:
@@ -171,19 +174,132 @@ class Vimeo90KDataset:
 
 
 @DATASET_REGISTRY.register()
+class Vimeo90KRecurrentDataset(Vimeo90KDataset):
+    """Full septuplet gt/lq sequences for recurrent models (ref
+    vimeo90k_dataset.py:130-186): both roots hold im1..im7; `flip_sequence`
+    mirrors the clip to 14 frames, `random_reverse` flips time order."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.flip_sequence = opt.get("flip_sequence", False)
+        self.random_reverse = opt.get("random_reverse", False)
+        self.neighbor_list = [1, 2, 3, 4, 5, 6, 7]
+
+    def __getitem__(self, index):
+        scale = self.opt.get("scale", 4)
+        gt_size = self.opt.get("gt_size", 256)
+        key = self.keys[index]
+        neighbors = list(self.neighbor_list)
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+        lqs = [imfrombytes(self.client.get(
+            osp.join(self.lq_root, key, f"im{i}.png")), float32=True)
+            for i in neighbors]
+        gts = [imfrombytes(self.client.get(
+            osp.join(self.gt_root, key, f"im{i}.png")), float32=True)
+            for i in neighbors]
+        gts, lqs = paired_random_crop(gts, lqs, gt_size, scale)
+        out = augment(lqs + gts, self.opt.get("use_hflip", True),
+                      self.opt.get("use_rot", True))
+        t = len(neighbors)
+        lq = np.stack([f[..., ::-1] for f in out[:t]])
+        gt = np.stack([f[..., ::-1] for f in out[t:]])
+        if self.flip_sequence:  # T → 2T by temporal mirror (ref :181-184)
+            lq = np.concatenate([lq, lq[::-1]], axis=0)
+            gt = np.concatenate([gt, gt[::-1]], axis=0)
+        return {"lq": lq.copy(), "gt": gt.copy(), "key": key}
+
+
+@DATASET_REGISTRY.register()
+class VideoTestVimeo90KDataset:
+    """Vimeo90K-Test: num_frame LQ neighbors, center (im4) GT only (ref
+    video_test_dataset.py:133-199). Items enumerate the meta_info list;
+    folder is the constant 'vimeo90k' as in the reference."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        num_frame = opt.get("num_frame", 7)
+        self.neighbor_list = [i + (9 - num_frame) // 2
+                              for i in range(num_frame)]
+        self.client = FileClient("disk")
+        with open(opt["meta_info_file"]) as f:
+            self.subfolders = [line.strip().split(" ")[0] for line in f]
+
+    def __len__(self):
+        return len(self.subfolders)
+
+    def device_pipeline(self):
+        return None
+
+    def __getitem__(self, index):
+        sub = self.subfolders[index]
+        lqs = [imfrombytes(self.client.get(
+            osp.join(self.lq_root, sub, f"im{i}.png")), float32=True)
+            for i in self.neighbor_list]
+        gt = imfrombytes(self.client.get(
+            osp.join(self.gt_root, sub, "im4.png")), float32=True)
+        return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
+                "gt": gt[..., ::-1].copy(), "folder": "vimeo90k",
+                "idx": index}
+
+
+def generate_frame_indices(crt_idx: int, max_frame_num: int,
+                           num_frames: int, padding: str = "reflection"):
+    """Sliding-window indices with border padding (ref data_util.py:43-92).
+
+    padding ∈ replicate | reflection | reflection_circle | circle, e.g. for
+    crt_idx=0, num_frames=5: [0,0,0,1,2] | [2,1,0,1,2] | [4,3,0,1,2] |
+    [3,4,0,1,2].
+    """
+    assert num_frames % 2 == 1, "num_frames should be an odd number."
+    max_frame_num = max_frame_num - 1
+    num_pad = num_frames // 2
+    indices = []
+    for i in range(crt_idx - num_pad, crt_idx + num_pad + 1):
+        if i < 0:
+            if padding == "replicate":
+                i = 0
+            elif padding == "reflection":
+                i = -i
+            elif padding == "reflection_circle":
+                i = crt_idx + num_pad - i
+            else:  # circle
+                i = num_frames + i
+        elif i > max_frame_num:
+            if padding == "replicate":
+                i = max_frame_num
+            elif padding == "reflection":
+                i = max_frame_num * 2 - i
+            elif padding == "reflection_circle":
+                i = (crt_idx - num_pad) - (i - max_frame_num)
+            else:  # circle
+                i = i - num_frames
+        indices.append(i)
+    return indices
+
+
+@DATASET_REGISTRY.register()
 class VideoTestDataset:
     """Per-folder video eval (ref video_test_dataset.py:12-130): sliding
-    window of num_frame LQ frames per GT frame."""
+    window of num_frame LQ frames per GT frame, border handling per the
+    `padding` option; folders restricted by `meta_info_file` when given."""
 
     def __init__(self, opt: dict):
         self.opt = opt
         self.gt_root = opt["dataroot_gt"]
         self.lq_root = opt["dataroot_lq"]
         self.num_frame = opt.get("num_frame", 5)
+        self.padding = opt.get("padding", "reflection")
         self.client = FileClient("disk")
-        import os
-        self.folders = sorted(d for d in os.listdir(self.lq_root)
-                              if osp.isdir(osp.join(self.lq_root, d)))
+        if opt.get("meta_info_file"):
+            with open(opt["meta_info_file"]) as f:
+                self.folders = [line.strip().split(" ")[0] for line in f]
+        else:
+            import os
+            self.folders = sorted(d for d in os.listdir(self.lq_root)
+                                  if osp.isdir(osp.join(self.lq_root, d)))
         self.items = []
         for folder in self.folders:
             frames = sorted(scandir(osp.join(self.lq_root, folder)))
@@ -203,9 +319,7 @@ class VideoTestDataset:
 
     def __getitem__(self, index):
         folder, i, total = self.items[index]
-        half = self.num_frame // 2
-        idxs = [min(max(j, 0), total - 1)
-                for j in range(i - half, i + half + 1)]
+        idxs = generate_frame_indices(i, total, self.num_frame, self.padding)
         lqs = [self._frame(self.lq_root, folder, j) for j in idxs]
         gt = self._frame(self.gt_root, folder, i)
         return {"lq": np.stack([f[..., ::-1] for f in lqs]).copy(),
@@ -276,9 +390,7 @@ class VideoTestDUFDataset(VideoTestDataset):
 
     def __getitem__(self, index):
         folder, i, total = self.items[index]
-        half = self.num_frame // 2
-        idxs = [min(max(j, 0), total - 1)
-                for j in range(i - half, i + half + 1)]
+        idxs = generate_frame_indices(i, total, self.num_frame, self.padding)
         scale = self.opt.get("scale", 4)
         if self.opt.get("use_duf_downsampling"):
             gts = np.stack([_mod_crop(self._frame(self.gt_root, folder, j),

@@ -6,7 +6,9 @@ from ..utils.registry import MODEL_REGISTRY
 from ..utils.logger import get_root_logger
 
 
-def build_model(opt):
+def register_all_models():
+    """Import every trainer module so MODEL_REGISTRY is fully populated
+    (deferred to avoid import cycles at package-import time)."""
     from . import sr_model  # noqa: F401
     from . import srgan_model  # noqa: F401
     from . import esrgan_model  # noqa: F401
@@ -14,6 +16,10 @@ def build_model(opt):
     from . import stylegan2_model  # noqa: F401
     from . import video_models  # noqa: F401
     from . import hifacegan_model  # noqa: F401
+
+
+def build_model(opt):
+    register_all_models()
     opt = deepcopy(opt)
     model = MODEL_REGISTRY.get(opt["model_type"])(opt)
     get_root_logger().info(

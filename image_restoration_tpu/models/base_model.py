@@ -64,6 +64,10 @@ class BaseModel:
         variables = jax.jit(
             lambda k, x: net.init(k, x, **apply_kwargs))(
             jax.random.PRNGKey(self.opt.get("manual_seed", 0) or 0), example)
+        # BN archs (DUF, VGG-style Ds) also create a batch_stats collection;
+        # stash it so callers can thread it through apply (ref eval-mode
+        # running stats).
+        self._init_stats = variables.get("batch_stats")
         return variables["params"]
 
     def make_optimizer(self, train_opt_key: str, params,

@@ -39,6 +39,7 @@ class SRModel(BaseModel):
         example = jnp.zeros((1, hw[0] // scale, hw[1] // scale, 3),
                             jnp.float32)
         params = self.init_params(self.net_g, example)
+        self.stats_g = self._init_stats  # BN running stats (e.g. DUF)
 
         # load pretrain (torch .pth import or orbax resume handled upstream)
         pre = opt["path"].get("pretrain_network_g")
@@ -133,8 +134,15 @@ class SRModel(BaseModel):
 
     def test(self, lq):
         if not hasattr(self, "_test_fn") or self._test_fn is None:
-            self._test_fn = jax.jit(
-                lambda p, x: self.net_g.apply({"params": p}, x))
+            stats = getattr(self, "stats_g", None)
+
+            def _apply(p, x):
+                variables = {"params": p}
+                if stats is not None:
+                    variables["batch_stats"] = stats
+                return self.net_g.apply(variables, x)
+
+            self._test_fn = jax.jit(_apply)
         out = self._test_fn(self.state.get("ema_g", self.state["params_g"]),
                             jnp.asarray(lq))
         if isinstance(out, tuple):

@@ -45,7 +45,17 @@ class SRGANModel(SRModel):
             extra["stats_d"] = variables_d["batch_stats"]
         self.state = dict(self.state, **self.replicate(extra))
 
+    @staticmethod
+    def _flatten_time(x):
+        """(b, t, h, w, c) clips → (b·t, h, w, c) — the reference feeds
+        recurrent-GAN outputs to D/VGG frame-flattened
+        (video_recurrent_gan_model.py:131,139,154,161)."""
+        if x.ndim == 5:
+            return x.reshape((-1,) + x.shape[2:])
+        return x
+
     def _d_apply(self, params, x, train=True, stats=None):
+        x = self._flatten_time(x)
         variables = {"params": params}
         if stats is not None:
             variables["batch_stats"] = stats
@@ -78,8 +88,9 @@ class SRGANModel(SRModel):
         (bookkeeping only — batch-stat mode never READS them)."""
         for batch in (gt, jax.lax.stop_gradient(output)):
             _, upd = self.net_d.apply(
-                {"params": params_d, "batch_stats": stats}, batch,
-                train=True, mutable=["batch_stats"])
+                {"params": params_d, "batch_stats": stats},
+                self._flatten_time(batch), train=True,
+                mutable=["batch_stats"])
             stats = upd["batch_stats"]
         return stats
 
@@ -99,7 +110,8 @@ class SRGANModel(SRModel):
                 total += l_pix
                 losses["l_g_pix"] = l_pix
             if cri_perceptual is not None:
-                l_p, l_s = cri_perceptual(out, gt)
+                l_p, l_s = cri_perceptual(self._flatten_time(out),
+                                          self._flatten_time(gt))
                 if l_p is not None:
                     total += l_p
                     losses["l_g_percep"] = l_p

@@ -31,16 +31,32 @@ class VideoBaseModel(SRModel):
     def __init__(self, opt: dict):
         opt = dict(opt)
         # frame-windowed nets (EDVR) fix num_frame in the arch; recurrent
-        # nets take any T, so fall back to the train-dataset window
-        self._num_frame = (opt.get("network_g", {}).get("num_frame")
-                           or (opt.get("datasets", {}).get("train", {})
-                               or {}).get("num_frame", 5))
+        # nets take any T, so fall back to any dataset's window — train
+        # first, then test phases (test-only configs have no train block).
+        # num_frame -1 = "whole clip" for recurrent datasets — init the
+        # params with a 7-frame example, the step retraces per real T.
+        self._num_frame = opt.get("network_g", {}).get("num_frame")
+        if not self._num_frame:
+            dsets = opt.get("datasets", {}) or {}
+            for phase in [dsets.get("train", {})] + [
+                    v for k, v in sorted(dsets.items()) if k != "train"]:
+                if (phase or {}).get("num_frame"):
+                    self._num_frame = phase["num_frame"]
+                    break
+        if not self._num_frame or self._num_frame < 1:
+            self._num_frame = 7
         super().__init__(opt)
 
+    _min_init_hw = 1  # SpyNet-based subclasses need a deeper pyramid
+
     def init_params(self, net, example, **kw):
-        # video nets take (N,T,h,w,3)
+        # video nets take (N,T,h,w,3); params are shape-independent, so the
+        # example only needs to satisfy the arch's minimum spatial extent
         t = self._num_frame
-        example = jnp.zeros((1, t) + example.shape[1:], example.dtype)
+        h = max(example.shape[1], self._min_init_hw)
+        w = max(example.shape[2], self._min_init_hw)
+        example = jnp.zeros((1, t, h, w) + example.shape[3:],
+                            example.dtype)
         return super().init_params(net, example, **kw)
 
     def validation(self, dataloader, current_iter, tb_logger=None,
@@ -127,7 +143,50 @@ class EDVRModel(VideoBaseModel):
 @MODEL_REGISTRY.register()
 class VideoRecurrentModel(VideoBaseModel):
     """BasicVSR-style recurrent trainer (ref video_recurrent_model.py:15):
-    the flow network (spynet) trains at `flow_lr_mul` × base lr."""
+    the flow network (spynet) trains at `flow_lr_mul` × base lr, is frozen
+    for the first `fix_flow` iters (:53-62), and eval supports sequence
+    flip-averaging + center-frame-only scoring (:175-190)."""
+
+    _min_init_hw = 64  # SpyNet's 5-level pyramid needs ≥2px at the top
+
+    def __init__(self, opt: dict):
+        self.fix_flow_iter = (opt.get("train", {}) or {}).get("fix_flow") \
+            or 0
+        self._flow_frozen = False
+        super().__init__(opt)
+
+    def optimize_parameters(self, current_iter: int, batch, rng):
+        frozen = bool(self.fix_flow_iter) and \
+            current_iter < self.fix_flow_iter
+        if frozen != self._flow_frozen:
+            self._flow_frozen = frozen
+            if frozen:
+                self.logger.info("Fix flow network and feature extractor "
+                                 f"for {self.fix_flow_iter} iters.")
+                params = jax.device_get(self.state["params_g"])
+                # train everything EXCEPT spynet/edvr subtrees (ref :57-59)
+                self._grad_mask_tree = _path_mask(
+                    params, lambda p: not any(
+                        "spynet" in seg or "edvr" in seg for seg in p))
+            else:
+                self.logger.warning("Train all the parameters.")
+                self._grad_mask_tree = None
+            self._train_step = None  # retrace with the new mask
+        return super().optimize_parameters(current_iter, batch, rng)
+
+    def test(self, lq):
+        val_opt = self.opt.get("val", {}) or {}
+        flip_seq = val_opt.get("flip_seq", False)
+        center_frame_only = val_opt.get("center_frame_only", False)
+        n = lq.shape[1]
+        if flip_seq:  # mirror-extend the clip, average both passes
+            lq = jnp.concatenate([lq, lq[:, ::-1]], axis=1)
+        out = super().test(lq)
+        if flip_seq:
+            out = 0.5 * (out[:, :n] + out[:, n:][:, ::-1])
+        if center_frame_only:
+            out = out[:, n // 2]
+        return out
 
     def make_optimizer(self, key, params, frozen_prefix=None, lr_scale=1.0,
                        betas=(0.9, 0.999)):

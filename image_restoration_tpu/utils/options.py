@@ -64,6 +64,9 @@ def parse(opt_path: str, root_path: str | None = None,
         dataset["phase"] = phase
         if "scale" in opt:
             dataset["scale"] = opt["scale"]
+        # the reference option zoo spells hflip as `use_flip`
+        if "use_flip" in dataset and "use_hflip" not in dataset:
+            dataset["use_hflip"] = dataset["use_flip"]
         for key in ("dataroot_gt", "dataroot_lq"):
             if dataset.get(key) is not None:
                 dataset[key] = osp.expanduser(dataset[key])

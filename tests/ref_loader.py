@@ -107,12 +107,30 @@ def install_stubs():
     pkg("basicsr.metrics", f"{REF_ROOT}/basicsr/metrics")
     pkg("basicsr.data", f"{REF_ROOT}/basicsr/data")
 
-    # torchvision is not installed; vgg_arch only needs importability
+    # torchvision is not installed; vgg_arch needs importability plus a
+    # constructible (random-init) vgg19 for the DFDNet golden test
     if "torchvision" not in sys.modules:
+        import torch.nn as _tnn
+
+        def _vgg19(weights=None, pretrained=False):
+            cfg_e = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                     512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+            layers, in_ch = [], 3
+            for v in cfg_e:
+                if v == "M":
+                    layers.append(_tnn.MaxPool2d(2, 2))
+                else:
+                    layers.append(_tnn.Conv2d(in_ch, v, 3, padding=1))
+                    layers.append(_tnn.ReLU(inplace=True))
+                    in_ch = v
+            net = _tnn.Module()
+            net.features = _tnn.Sequential(*layers)
+            return net
+
         tv = pkg("torchvision")
         tvm = pkg("torchvision.models")
         tv.models = tvm
-        tvm.vgg = types.SimpleNamespace()
+        tvm.vgg = types.SimpleNamespace(vgg19=_vgg19)
         tvm.VGG19_Weights = types.SimpleNamespace(DEFAULT=None)
         tvt = pkg("torchvision.transforms")
         tvf = pkg("torchvision.transforms.functional_tensor")

@@ -64,7 +64,7 @@ def test_hifacegan_model_step(tmp_path):
         "scale": 1, "gt_size": 32,
         "network_g": dict(type="SPADEGenerator", num_feat=8, ups_num=2),
         "network_d": dict(type="HiFaceGANDiscriminator", num_feat=8,
-                          num_d=2, n_layers=2),
+                          num_d=2, n_layers_d=2),
         "train": {
             "optim_g": {"type": "Adam", "lr": 1e-4},
             "optim_d": {"type": "Adam", "lr": 1e-4},
