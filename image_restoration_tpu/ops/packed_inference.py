@@ -89,11 +89,10 @@ def packed_srvgg_forward(packed: Dict, x: jax.Array, num_conv: int,
 
     oc = 3 * upscale ** 2
     out = jnp.concatenate([hp[..., :oc], hp[..., oc:]], axis=0)
-    out = pixel_shuffle(out, upscale)
-    r = upscale
-    base = jnp.broadcast_to(x[:, :, None, :, None, :],
-                            (n, h, r, w, r, c)).reshape(n, h * r, w * r, c)
-    return out + base.astype(out.dtype)
+    # nearest-upsample base added PRE-shuffle (exact: channel c0*r²+(a,b)
+    # lands at subpixel (a,b) channel c0) — see quantized_inference.py.
+    out = out + jnp.repeat(x, upscale * upscale, axis=-1).astype(out.dtype)
+    return pixel_shuffle(out, upscale)
 
 
 # ------------------------------------------------------------- RRDBNet

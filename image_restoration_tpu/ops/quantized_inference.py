@@ -31,7 +31,9 @@ from .packed_inference import _block_diag
 def calibrate_srvgg_act_scales(params: Dict, x: jax.Array,
                                num_conv: int) -> List[float]:
     """Per-layer |activation| maxima from a calibration batch (plain fp32
-    forward, host side). Returns num_conv+2 input scales (one per conv)."""
+    forward, host side). Returns num_conv+3 scales: one per conv input,
+    plus the |conv_last output| max (the residual-output scale used to
+    serve conv_last with an int8 sink — see quantized_srvgg_forward)."""
     dn = ("NHWC", "HWIO", "NHWC")
     scales = []
     h = x
@@ -44,6 +46,10 @@ def calibrate_srvgg_act_scales(params: Dict, x: jax.Array,
         alpha = params[f"prelu_{i}"]
         h = jnp.where(h >= 0, h, h * alpha)
     scales.append(jnp.max(jnp.abs(h)))
+    out = jax.lax.conv_general_dilated(
+        h, params["conv_last"]["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn) + params["conv_last"]["bias"]
+    scales.append(jnp.max(jnp.abs(out)))
     return jnp.stack(scales)  # jit-friendly; callers floatify
 
 
@@ -85,6 +91,19 @@ def quantize_srvgg_params(params: Dict, act_scales: List[float],
             jnp.bfloat16)
     quant_layer(params["conv_last"]["kernel"], params["conv_last"]["bias"],
                 act_scales[num_conv + 1], "last")
+    # conv_last also serves an int8 SINK (body-layer shape): folding the
+    # output requant 127/s_out into deq/b lets XLA pipeline conv_last like
+    # a body layer (bf16/int32 sinks measured +2.3 ms on v5e); the tail
+    # dequantizes with inv_last fused into the pixel-shuffle pass. The
+    # output-residual quantization costs ~50 dB — far above the gate.
+    if len(act_scales) > num_conv + 2:
+        s_out = float(act_scales[num_conv + 2]) + 1e-12
+        r = 127.0 / s_out
+        q["deq_last"] = (q["deq_last"].astype(jnp.float32) * r).astype(
+            jnp.bfloat16)
+        q["b_last"] = (q["b_last"].astype(jnp.float32) * r).astype(
+            jnp.bfloat16)
+        q["inv_last"] = jnp.bfloat16(s_out / 127.0)
     q["s_in_0"] = jnp.float32(act_scales[0])
     return q
 
@@ -129,16 +148,24 @@ def quantized_srvgg_forward(q: Dict, x: jax.Array, num_conv: int,
         hq, q["w_last"], (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
         preferred_element_type=jnp.int32)
     out = acc.astype(jnp.bfloat16) * q["deq_last"] + q["b_last"]
+    inv_last = q.get("inv_last")
+    if inv_last is not None:
+        # int8 sink (see quantize_srvgg_params): conv_last pipelines like
+        # a body layer; the tail pass dequantizes below.
+        out = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
     if crop_halo > 1:
         out = out[:, 1:-1, 1:-1, :]
 
     oc = 3 * upscale ** 2
     out = jnp.concatenate([out[..., i * oc:(i + 1) * oc]
                            for i in range(pack)], axis=0)
-    out = pixel_shuffle(out, upscale)
-    r = upscale
-    base = jnp.broadcast_to(x[:, :, None, :, None, :],
-                            (n, h, r, w, r, c)).reshape(n, h * r, w * r, c)
+    if inv_last is not None:
+        out = out.astype(jnp.bfloat16) * inv_last
+    # nearest-upsample base added PRE-shuffle: channel c0*r²+(a,b) of the
+    # un-shuffled tensor lands at subpixel (a,b) channel c0, so repeating
+    # each input channel r² times is exactly the NN-upsampled base — the
+    # add runs at 48-lane efficiency and the shuffle becomes the last op.
+    out = out + jnp.repeat(x, upscale * upscale, axis=-1).astype(jnp.bfloat16)
     # serve in bf16: the 4×-upscaled output is the single biggest HBM
     # write; serving casts to uint8 anyway
-    return out + base.astype(jnp.bfloat16)
+    return pixel_shuffle(out, upscale)
