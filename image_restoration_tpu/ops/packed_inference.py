@@ -114,12 +114,15 @@ def pack_rrdbnet_params(params: Dict, num_block: int, g: int = 4,
     for name in ("conv_first", "conv_body", "conv_up1", "conv_up2",
                  "conv_hr", "conv_last"):
         packed[name] = bd(params[name])
-    for bi in range(num_block):
-        blk = params[f"body_{bi}"]
-        for rdb in ("rdb1", "rdb2", "rdb3"):
-            for ci in range(1, 6):
-                packed[f"body_{bi}.{rdb}.conv{ci}"] = \
-                    bd(blk[rdb][f"conv{ci}"])
+    # the 23 body blocks are structurally identical: stack each of the 15
+    # per-block conv weights on a leading axis so the forward can lax.scan
+    # over blocks — the graph holds 15 convs instead of 345 (23x smaller
+    # XLA program; compile time and program size stop scaling with depth)
+    for rdb in ("rdb1", "rdb2", "rdb3"):
+        for ci in range(1, 6):
+            ws, bs = zip(*(bd(params[f"body_{bi}"][rdb][f"conv{ci}"])
+                           for bi in range(num_block)))
+            packed[f"blocks.{rdb}.conv{ci}"] = (jnp.stack(ws), jnp.stack(bs))
     return packed
 
 
@@ -157,18 +160,26 @@ def packed_rrdbnet_forward(packed: Dict, x: jax.Array, num_block: int,
                 chunks.append(p[..., k * pc:(k + 1) * pc])
         return jnp.concatenate(chunks, axis=-1)
 
-    for bi in range(num_block):
-        rin = body
-        t = body
+    def conv_w(t, wb):
+        wgt, b = wb
+        return jax.lax.conv_general_dilated(
+            t, wgt, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    stacked = {k: packed[k] for k in packed if k.startswith("blocks.")}
+
+    def block_step(t0, bp):
+        t = t0
         for rdb in ("rdb1", "rdb2", "rdb3"):
             feats = [(t, nf)]
             for ci in range(1, 5):
                 xcat = cat(feats) if len(feats) > 1 else t
-                y = lrelu(conv(xcat, f"body_{bi}.{rdb}.conv{ci}"))
+                y = lrelu(conv_w(xcat, bp[f"blocks.{rdb}.conv{ci}"]))
                 feats.append((y, y.shape[-1] // g))
-            y5 = conv(cat(feats), f"body_{bi}.{rdb}.conv5")
+            y5 = conv_w(cat(feats), bp[f"blocks.{rdb}.conv5"])
             t = y5 * 0.2 + t
-        body = t * 0.2 + rin
+        return t * 0.2 + t0, None
+
+    body, _ = jax.lax.scan(block_step, body, stacked)
     body = conv(body, "conv_body")
     feat = feat + body
 
