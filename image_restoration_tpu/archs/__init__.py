@@ -31,6 +31,7 @@ from . import hifacegan_arch  # noqa: F401
 from . import dfdnet_arch  # noqa: F401
 from . import inception_arch  # noqa: F401
 from . import tof_arch  # noqa: F401
+from . import iresnet_arch  # noqa: F401
 
 
 def build_network(opt):

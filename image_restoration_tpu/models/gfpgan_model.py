@@ -124,6 +124,22 @@ class GFPGANModel(SRModel):
         self.remove_pyramid_loss = train_opt.get("remove_pyramid_loss",
                                                  float("inf"))
 
+        # identity loss (ref :185-205, :645-657). The reference's import is
+        # BROKEN upstream (`backbones` undefined at :198, every shipped yml
+        # comments network_identity out); this is the working equivalent:
+        # arcface IResNet embeddings, L1(out, stop_grad(gt)), frozen net.
+        self.use_identity = opt.get("network_identity") is not None
+        if self.use_identity:
+            self.net_identity = self.build_net("network_identity")
+            ex_id = jnp.zeros((1, 112, 112, 3), jnp.float32)
+            p_id = self.init_params(self.net_identity, ex_id)
+            pre_id = opt["path"].get("pretrain_network_identity")
+            if pre_id and pre_id.endswith((".pth", ".pt")):
+                from ..convert.iresnet_import import import_iresnet
+                p_id = import_iresnet(pre_id)
+            self.params_identity = p_id  # frozen (ref :203-205)
+            self.identity_weight = train_opt.get("identity_weight", 1.0)
+
         self.state = dict(
             {k: v for k, v in self.state.items()},
             opt_g=self.replicate(self.tx_g.init(params_g)),
@@ -200,6 +216,19 @@ class GFPGANModel(SRModel):
                 return jax.vmap(lambda p, xi: net_dc.apply(
                     {"params": p}, xi, return_feats=True))(pdc, x)
 
+        use_identity = self.use_identity
+        if use_identity:
+            net_id = self.net_identity
+            p_id = self.params_identity
+            id_w = self.identity_weight
+            cri_l1_id = self.cri_l1
+
+            def embed(img):
+                # ref resize_for_identity (:477-481): bilinear 112², clamp
+                r = jresize(img, (112, 112), "bilinear")
+                r = jnp.clip(r, -1.0, 1.0)
+                return net_id.apply({"params": p_id}, r)
+
         remat = (self.opt.get("train", {}) or {}).get("remat", False)
 
         def g_forward(pg, lq, noise_rng):
@@ -241,6 +270,17 @@ class GFPGANModel(SRModel):
             l_gan = self.cri_gan(fake_pred, True, is_disc=False)
             total = total + l_gan
             losses["l_g_gan"] = l_gan
+
+            # identity loss (ref :645-657): gt embedding detached
+            if use_identity:
+                e_out = embed(output)
+                e_gt = jax.lax.stop_gradient(embed(gt))
+                if cri_l1_id is not None:
+                    l_identity = cri_l1_id(e_out, e_gt) * id_w
+                else:
+                    l_identity = jnp.mean(jnp.abs(e_out - e_gt)) * id_w
+                total = total + l_identity
+                losses["l_identity"] = l_identity
 
             # component GAN + Gram-style losses (ref :556-642)
             if use_fd:
