@@ -79,22 +79,82 @@ class SPADEResnetBlock(nn.Module):
         return xs + dx
 
 
+def _instance_norm(x, scale=None, shift=None, eps=1e-5):
+    """torch InstanceNorm2d semantics (per-sample, per-channel over HW)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale + shift
+    return y
+
+
+def _up2(x):
+    """nn.Upsample(scale_factor=2) — exact nearest ×2."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class _Affine(nn.Module):
+    """Affine pair for torch InstanceNorm2d(affine=True) (scale='weight',
+    bias) — named so the structure-driven importer resolves them."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
 class SimplifiedLIP(nn.Module):
-    """Local-importance pooling (hifacegan_util.py SimplifiedLIP): ×2
-    downsample weighted by a learned logit map."""
+    """Local-importance pooling (hifacegan_util.py:160-199): logit =
+    SoftGate(IN_affine(conv_nobias(x)))·12, out = avg(x·eˡ)/avg(eˡ) with a
+    3×3 stride-2 window (the pad-count divisors cancel in the ratio).
+    Child names mirror the torch `logit` Sequential for weight import."""
     channels: int
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
-        logit = conv_kaiming(self.channels, 3, name="logit_conv",
-                             dtype=self.dtype)(x)
-        logit = jnp.exp(jnp.clip(jax.nn.sigmoid(logit) * 2, -10, 10))
-        num = nn.avg_pool(x * logit, (3, 3), strides=(2, 2),
+        logit = conv_kaiming(self.channels, 3, use_bias=False,
+                             name="logit_0", dtype=self.dtype)(x)
+        logit = _Affine(name="logit_1")(_instance_norm(logit))
+        weight = jnp.exp(jax.nn.sigmoid(logit) * 12.0)
+        num = nn.avg_pool(x * weight, (3, 3), strides=(2, 2),
                           padding=((1, 1), (1, 1)))
-        den = nn.avg_pool(logit, (3, 3), strides=(2, 2),
+        den = nn.avg_pool(weight, (3, 3), strides=(2, 2),
                           padding=((1, 1), (1, 1)))
-        return num / jnp.maximum(den, 1e-8)
+        return num / den
+
+
+class LIPEncoder(nn.Module):
+    """hifacegan_util.py LIPEncoder (:202-236): conv+IN+ReLU stem, then
+    n_2xdown × (SimplifiedLIP ↓2 → conv → IN) with ReLU between stages
+    (none after the last). Child names mirror the torch `model` Sequential
+    indices (conv at 0; per stage i: LIP at 3+4i, conv at 4+4i)."""
+    ngf: int
+    n_2xdown: int = 5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = conv_kaiming(self.ngf, 3, use_bias=False, name="model_0",
+                         dtype=self.dtype)(x)
+        h = jax.nn.relu(_instance_norm(h))
+        cur = 1
+        for i in range(self.n_2xdown):
+            nxt = min(cur * 2, 16)
+            h = SimplifiedLIP(self.ngf * cur, name=f"model_{3 + 4 * i}",
+                              dtype=self.dtype)(h)
+            h = conv_kaiming(self.ngf * nxt, 3, name=f"model_{4 + 4 * i}",
+                             dtype=self.dtype)(h)
+            h = _instance_norm(h)
+            cur = nxt
+            if i < self.n_2xdown - 1:
+                h = jax.nn.relu(h)
+        return h
 
 
 @ARCH_REGISTRY.register()
@@ -111,72 +171,70 @@ class SPADEGenerator(nn.Module):
     """
     num_in_ch: int = 3
     num_feat: int = 64
-    use_vae: bool = False
+    use_vae: bool = False  # inert: the VAE path is disabled upstream too
     z_dim: int = 256
     crop_size: int = 512
     norm_g: str = "spectralspadesyncbatch3x3"
     is_train: bool = True
     init_train_phase: int = 3
-    ups_num: int = 5  # 1024→32 encoder depth / decoder upsamples
+    scale_ratio: int = 5  # hardcoded in the reference (:28)
     dtype: Dtype = None
+
+    def encode(self, x):
+        """Nearest-downsample 2^scale_ratio then the fc conv (ref :62-69)."""
+        h, w = x.shape[1], x.shape[2]
+        sh, sw = h // 2 ** self.scale_ratio, w // 2 ** self.scale_ratio
+        seed = resize(x, (sh, sw), "nearest")
+        return conv_kaiming(16 * self.num_feat, 3, name="fc",
+                            dtype=self.dtype)(seed)
 
     @nn.compact
     def __call__(self, x):
-        """x: degraded input (N,H,W,3); used as both seed and SPADE maps."""
+        """x: degraded input (N,H,W,3); used as both seed and SPADE maps.
+
+        Ref forward (:71-95): fc → head_0 → up → g_middle_0 → g_middle_1 →
+        phase×(up → ups[i]) → to_rgbs[phase−1](lrelu) → tanh, with
+        phase = init_train_phase+1 when is_train else 4.
+        """
         nf = self.num_feat
-        h, w = x.shape[1], x.shape[2]
-        sh, sw = h // 2 ** self.ups_num, w // 2 ** self.ups_num
-        seed = resize(x, (sh, sw), "nearest")
-        feat = conv_kaiming(16 * nf, 3, name="fc", dtype=self.dtype)(seed)
-        chans = [16, 16, 8, 4, 2, 1]
+        seg = x
+        feat = self.encode(x)
         feat = SPADEResnetBlock(16 * nf, name="head_0",
-                                dtype=self.dtype)(feat, x)
-        for i in range(self.ups_num):
-            hh, ww = feat.shape[1] * 2, feat.shape[2] * 2
-            feat = resize(feat, (hh, ww), "nearest")
-            feat = SPADEResnetBlock(chans[i + 1] * nf, name=f"up_{i}",
-                                    dtype=self.dtype)(feat, x)
-        out = conv_kaiming(3, 3, name="conv_img", dtype=self.dtype)(
-            _lrelu(feat))
+                                dtype=self.dtype)(feat, seg)
+        feat = _up2(feat)
+        feat = SPADEResnetBlock(16 * nf, name="g_middle_0",
+                                dtype=self.dtype)(feat, seg)
+        feat = SPADEResnetBlock(16 * nf, name="g_middle_1",
+                                dtype=self.dtype)(feat, seg)
+        phase = self.init_train_phase + 1 if self.is_train else 4
+        up_chans = [8, 4, 2, 1]
+        for i in range(phase):
+            feat = _up2(feat)
+            feat = SPADEResnetBlock(up_chans[i] * nf, name=f"ups_{i}",
+                                    dtype=self.dtype)(feat, seg)
+        out = conv_kaiming(3, 3, name=f"to_rgbs_{phase - 1}",
+                           dtype=self.dtype)(_lrelu(feat))
         return jnp.tanh(out)
 
 
 @ARCH_REGISTRY.register()
 class HiFaceGAN(SPADEGenerator):
-    """Suppression-module encoder + SPADE decoder (ref :145-166)."""
+    """SPADEGenerator with the learnable LIP encoder (ref :145-166)."""
 
-    @nn.compact
-    def __call__(self, x):
-        nf = self.num_feat
-        # LIP encoder pyramid → multi-scale guidance
-        feats = []
-        h = conv_kaiming(nf, 3, name="enc_first", dtype=self.dtype)(x)
-        for i in range(4):
-            h = SimplifiedLIP(h.shape[-1], name=f"lip_{i}",
-                              dtype=self.dtype)(h)
-            h = _lrelu(conv_kaiming(min(nf * 2 ** (i + 1), nf * 8), 3,
-                                    name=f"enc_{i}", dtype=self.dtype)(h))
-            feats.append(h)
-
-        sh, sw = x.shape[1] // 16, x.shape[2] // 16
-        feat = conv_kaiming(16 * nf, 3, name="fc", dtype=self.dtype)(
-            feats[-1])
-        chans = [16, 8, 4, 2, 1]
-        guides = feats[::-1] + [x]
-        for i in range(4):
-            feat = SPADEResnetBlock(chans[i] * nf, name=f"up_{i}",
-                                    dtype=self.dtype)(feat, guides[i])
-            hh, ww = feat.shape[1] * 2, feat.shape[2] * 2
-            feat = resize(feat, (hh, ww), "nearest")
-        feat = SPADEResnetBlock(nf, name="up_final",
-                                dtype=self.dtype)(feat, x)
-        out = conv_kaiming(3, 3, name="conv_img", dtype=self.dtype)(
-            _lrelu(feat))
-        return jnp.tanh(out)
+    def encode(self, x):
+        return LIPEncoder(self.num_feat, self.scale_ratio,
+                          name="lip_encoder", dtype=self.dtype)(x)
 
 
 class NLayerDiscriminator(nn.Module):
-    """PatchGAN D returning intermediate features."""
+    """PatchGAN D returning all intermediate group outputs (ref :225-270).
+
+    Groups mirror the reference Sequential split: model0 = conv(bias)+lrelu,
+    model1..n−1 = spectral-norm conv (bias deleted by
+    get_nonspade_norm_layer) + parameter-free InstanceNorm + lrelu,
+    model_n = 1-channel conv(bias). Spectral norm folds into the imported
+    weight (W/σ), so the flax convs are plain.
+    """
     num_feat: int = 64
     n_layers: int = 4
     dtype: Dtype = None
@@ -184,21 +242,20 @@ class NLayerDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x) -> List:
         feats = []
-        h = _lrelu(conv_kaiming(self.num_feat, 4, stride=2, padding=1,
-                                name="conv0", dtype=self.dtype)(x))
+        h = _lrelu(conv_kaiming(self.num_feat, 4, stride=2, padding=2,
+                                name="model0_0", dtype=self.dtype)(x))
         feats.append(h)
         nf = self.num_feat
         for i in range(1, self.n_layers):
             nf = min(nf * 2, 512)
             stride = 1 if i == self.n_layers - 1 else 2
-            h = conv_kaiming(nf, 4, stride=stride, padding=1,
-                             name=f"conv{i}", dtype=self.dtype)(h)
-            # parameter-free instance norm (spectral-norm-free variant)
-            mean = jnp.mean(h, axis=(1, 2), keepdims=True)
-            var = jnp.var(h, axis=(1, 2), keepdims=True)
-            h = _lrelu((h - mean) * jax.lax.rsqrt(var + 1e-5))
+            h = conv_kaiming(nf, 4, stride=stride, padding=2,
+                             use_bias=False, name=f"model{i}_0",
+                             dtype=self.dtype)(h)
+            h = _lrelu(_instance_norm(h))
             feats.append(h)
-        feats.append(conv_kaiming(1, 4, padding=1, name="conv_out",
+        feats.append(conv_kaiming(1, 4, padding=2,
+                                  name=f"model{self.n_layers}_0",
                                   dtype=self.dtype)(h))
         return feats
 
@@ -226,9 +283,15 @@ class HiFaceGANDiscriminator(nn.Module):
         h = x
         for i in range(self.num_d):
             outs.append(NLayerDiscriminator(
-                self.num_feat, self.n_layers_d, name=f"d_{i}",
+                self.num_feat, self.n_layers_d, name=f"discriminator_{i}",
                 dtype=self.dtype)(h))
             if i != self.num_d - 1:
-                h = nn.avg_pool(h, (3, 3), strides=(2, 2),
-                                padding=((1, 1), (1, 1)))
+                # F.avg_pool2d(3,2,pad=1, count_include_pad=False):
+                # divide the sum-pool by the per-window VALID count
+                num = nn.avg_pool(h, (3, 3), strides=(2, 2),
+                                  padding=((1, 1), (1, 1))) * 9.0
+                den = nn.avg_pool(jnp.ones_like(h[..., :1]), (3, 3),
+                                  strides=(2, 2),
+                                  padding=((1, 1), (1, 1))) * 9.0
+                h = num / den
         return outs

@@ -262,6 +262,20 @@ def import_network(arch_name: str, module, variables, state_dict):
         channels = stylegan_channels(module.channel_multiplier, module.narrow)
         ratio = int(module.input_width / module.input_height)
         fixes = {"final_linear_0": (channels[4], 4, 4 * ratio)}
+    elif arch_name in ("HiFaceGAN", "SPADEGenerator",
+                       "HiFaceGANDiscriminator"):
+        # spectral-norm triples fold to W/σ; HiFaceGAN keeps the (unused)
+        # inherited fc and all 4 to_rgbs heads in its checkpoints — drop
+        # whatever the flax tree (built at a fixed phase) doesn't hold.
+        from .hifacegan_import import fold_spectral_norm
+        state_dict = fold_spectral_norm(state_dict)
+        drop = []
+        if "fc" not in params:
+            drop.append((r"^fc\.", None))
+        for i in range(4):
+            if f"to_rgbs_{i}" not in params:
+                drop.append((rf"^to_rgbs\.{i}\.", None))
+        rules = drop
     new_params = convert_state_dict(state_dict, params, rules, fixes)
     out = dict(variables)
     out["params"] = new_params

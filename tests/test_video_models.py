@@ -62,7 +62,8 @@ def test_hifacegan_model_step(tmp_path):
     opt.update({
         "model_type": "HiFaceGANModel",
         "scale": 1, "gt_size": 32,
-        "network_g": dict(type="SPADEGenerator", num_feat=8, ups_num=2),
+        "network_g": dict(type="SPADEGenerator", num_feat=8, scale_ratio=2,
+                          init_train_phase=0),
         "network_d": dict(type="HiFaceGANDiscriminator", num_feat=8,
                           num_d=2, n_layers_d=2),
         "train": {
