@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Export the tiled SR restorer as a deployable serving engine.
+
+Parity role: the reference serves its plate restorer as a TorchScript
+artifact (`api_plate_oto.py:336`) and its detector through TensorRT
+engines. The TPU analog of an "engine" is a serialized AOT-compiled
+StableHLO function: shape-frozen, loadable without the model source, and
+runnable with nothing but jax.export + the weights bundled inside.
+
+This script builds SRVGGNetCompact (the BASELINE serving model), optionally
+imports torch weights, applies the int8 PTQ + 2-way channel packing
+serving path (ops/quantized_inference.py), and writes:
+
+  <out>/engine.bin    jax.export-serialized StableHLO of the serving fn
+                      at the frozen (batch, tile+2·halo)² input shape
+  <out>/engine.json   shape/dtype/halo metadata for the serving host
+
+Round-trip (deserialize → call) is verified before writing.
+"""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.abspath(_osp.join(_osp.dirname(__file__), "..")))
+
+import argparse
+import json
+import os
+
+
+def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
+                 batch=8, pth=None, int8=True, calib=None, seed=0):
+    """Returns (serialized_bytes, meta dict, reference outputs fn)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.ops.packed_inference import (
+        pack_srvgg_params, packed_srvgg_forward)
+    from image_restoration_tpu.ops.quantized_inference import (
+        calibrate_srvgg_act_scales, quantize_srvgg_params,
+        quantized_srvgg_forward)
+
+    size = tile + 2 * halo
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=num_feat,
+                             num_conv=num_conv, upscale=upscale,
+                             dtype=jnp.bfloat16))
+    rng = np.random.default_rng(seed)
+    x1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32), jnp.bfloat16)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(seed), x1)
+    params = variables["params"]
+    if pth:
+        from image_restoration_tpu.convert.torch_import import (
+            import_network, load_pth)
+        params = import_network("SRVGGNetCompact", net,
+                                {"params": params},
+                                load_pth(pth))["params"]
+
+    if int8:
+        if calib is None:
+            calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
+        scales = jax.device_get(jax.jit(
+            lambda p, x: calibrate_srvgg_act_scales(p, x, num_conv))(
+            jax.tree.map(lambda a: a.astype(jnp.float32), params), calib))
+        q = quantize_srvgg_params(jax.device_get(params),
+                                  [float(s) for s in scales],
+                                  num_conv, pack=2)
+
+        def serve(x):
+            return quantized_srvgg_forward(q, x, num_conv, upscale, pack=2)
+    else:
+        packed = pack_srvgg_params(params, num_conv)
+
+        def serve(x):
+            return packed_srvgg_forward(packed, x, num_conv, upscale)
+
+    x_spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.bfloat16)
+    exported = jexport.export(jax.jit(serve))(x_spec)
+    ser = exported.serialize()
+
+    meta = {"model": "SRVGGNetCompact", "num_feat": num_feat,
+            "num_conv": num_conv, "upscale": upscale, "tile": tile,
+            "halo": halo, "batch": batch, "mode": "int8" if int8 else
+            "bf16", "input_shape": [batch, size, size, 3],
+            "input_dtype": "bfloat16",
+            "platforms": list(exported.platforms)}
+    return ser, meta, serve
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--pth", default=None, help="torch SRVGG weights")
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--halo", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--num_conv", type=int, default=32)
+    p.add_argument("--bf16", action="store_true",
+                   help="skip int8 PTQ, export the packed bf16 path")
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    # the axon plugin overrides the JAX_PLATFORMS env var; re-apply it so
+    # `JAX_PLATFORMS=cpu scripts/export_restorer.py` builds a CPU engine
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ser, meta, serve = build_engine(
+        num_conv=args.num_conv, tile=args.tile, halo=args.halo,
+        batch=args.batch, pth=args.pth, int8=not args.bf16)
+
+    # Round-trip gate before writing. Exactness is NOT required for the
+    # int8 engine: the deserialized module is a separate XLA compilation,
+    # and ulp-level fusion differences in the bf16 epilogues shift
+    # per-layer requant rounding points — each compilation is a valid
+    # quantization realization (measured on v5e: engine 36.6 dB vs the
+    # bf16 reference where the jit path scores 36.4 dB). Gate at >=30 dB.
+    size = args.tile + 2 * args.halo
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (args.batch, size, size, 3)), jnp.bfloat16)
+    got = np.asarray(jexport.deserialize(ser).call(x), np.float32)
+    want = np.asarray(serve(x), np.float32)
+    mse = float(np.mean((got - want) ** 2))
+    span = float(want.max() - want.min()) or 1.0
+    gate_db = 10 * np.log10(span ** 2 / max(mse, 1e-12))
+    print(f"engine vs jit round-trip: {gate_db:.1f} dB")
+    assert gate_db >= 30.0, f"engine round-trip too lossy: {gate_db:.1f} dB"
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "engine.bin"), "wb") as f:
+        f.write(ser)
+    with open(os.path.join(args.out, "engine.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"engine: {len(ser) / 1e6:.1f} MB, {meta}")
+
+
+if __name__ == "__main__":
+    main()
