@@ -43,13 +43,13 @@ class DCNv2Pack(nn.Module):
         out = conv_kaiming(g * 3 * k, 3, name="conv_offset",
                            dtype=self.dtype)(feat)
         o1, o2, mask = jnp.split(out, 3, axis=-1)
-        offset = jnp.concatenate([o1, o2], axis=-1)
-        # interleave (y, x) per tap per group: channels are (g*k) y then
-        # (g*k) x in torch; regroup to (..., g, k, 2) order
-        n, h, w, _ = offset.shape
-        oy = o1.reshape(n, h, w, g, k)
-        ox = o2.reshape(n, h, w, g, k)
-        off = jnp.stack([oy, ox], axis=-1).reshape(n, h, w, g * k * 2)
+        # CUDA decode (deform_conv_cuda_kernel.cu): cat(o1,o2) is viewed
+        # per deformable group as 2K channels with tap t's (y,x) at
+        # (2t, 2t+1) — the group view CROSSES the o1/o2 boundary; passing
+        # the concatenation straight through reproduces it exactly (the
+        # core splits (g, 2K) then (K, 2)). Re-deriving y=o1/x=o2 would be
+        # a channel permutation that breaks imported reference weights.
+        off = jnp.concatenate([o1, o2], axis=-1)
         mask = jax.nn.sigmoid(mask)
         cin = x.shape[-1]
         weight = self.param("weight", jax.nn.initializers.variance_scaling(

@@ -262,6 +262,18 @@ def import_network(arch_name: str, module, variables, state_dict):
         channels = stylegan_channels(module.channel_multiplier, module.narrow)
         ratio = int(module.input_width / module.input_height)
         fixes = {"final_linear_0": (channels[4], 4, 4 * ratio)}
+    elif arch_name in ("BasicVSR", "IconVSR"):
+        # SpyNet submodule: torch basic_module.N.basic_module.M Sequential
+        # → flax basic_module_N.conv{M//2}; mean/std are constants here
+        rules = [
+            (r"spynet\.basic_module\.(\d+)\.basic_module\.(\d+)",
+             lambda m: (f"spynet.basic_module_{m.group(1)}."
+                        f"conv{int(m.group(2)) // 2}")),
+            (r"spynet\.(mean|std)$", None),
+            # ConvResidualBlocks: main.0 conv + main.2.N residual blocks
+            (r"\.main\.0\.", ".conv_first."),
+            (r"\.main\.2\.(\d+)\.", lambda m: f".block_{m.group(1)}."),
+        ]
     elif arch_name in ("HiFaceGAN", "SPADEGenerator",
                        "HiFaceGANDiscriminator"):
         # spectral-norm triples fold to W/σ; HiFaceGAN keeps the (unused)

@@ -55,6 +55,100 @@ def _upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     return out.reshape(b, c, out.shape[2], out.shape[3])
 
 
+def _modulated_deform_conv(x, offset, mask, weight, bias=None, stride=1,
+                           padding=0, dilation=1, groups=1,
+                           deformable_groups=1):
+    """Pure-torch DCNv2 matching the reference CUDA semantics
+    (ops/dcn/src/deform_conv_cuda_kernel.cu modulated_deformable_im2col):
+    per deformable group g and tap t, sample position = base + dilation·t
+    − padding + (offset[g·2K+2t], offset[g·2K+2t+1]) with zero-padded
+    bilinear; multiply by mask[g·K+t]; contract with the weights."""
+    if isinstance(stride, tuple):
+        stride = stride[0]
+    if isinstance(padding, tuple):
+        padding = padding[0]
+    assert groups == 1, "stub supports weight groups == 1"
+    b, cin, h, w = x.shape
+    cout, _, kh, kw = weight.shape
+    k = kh * kw
+    dg = deformable_groups
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+
+    base_y = torch.arange(ho, dtype=x.dtype) * stride - padding
+    base_x = torch.arange(wo, dtype=x.dtype) * stride - padding
+    out = torch.zeros(b, cout, ho, wo, dtype=x.dtype)
+    cpg = cin // dg
+    for g in range(dg):
+        xg = x[:, g * cpg:(g + 1) * cpg]
+        for t in range(k):
+            ty, tx = divmod(t, kw)
+            sy = (base_y.view(1, -1, 1) + ty * dilation +
+                  offset[:, g * 2 * k + 2 * t])
+            sx = (base_x.view(1, 1, -1) + tx * dilation +
+                  offset[:, g * 2 * k + 2 * t + 1])
+            y0, x0 = torch.floor(sy), torch.floor(sx)
+            wy, wx = sy - y0, sx - x0
+            samp = 0
+            for yy, wyy in ((y0, 1 - wy), (y0 + 1, wy)):
+                for xx, wxx in ((x0, 1 - wx), (x0 + 1, wx)):
+                    ok = ((yy >= 0) & (yy <= h - 1) & (xx >= 0) &
+                          (xx <= w - 1)).to(x.dtype)
+                    yi = yy.clamp(0, h - 1).long()
+                    xi = xx.clamp(0, w - 1).long()
+                    idx = (yi * w + xi).view(b, 1, -1).expand(b, cpg, -1)
+                    v = torch.gather(xg.reshape(b, cpg, h * w), 2, idx)
+                    samp = samp + (v.view(b, cpg, ho, wo) *
+                                   (ok * wyy * wxx).unsqueeze(1))
+            samp = samp * mask[:, g * k + t].unsqueeze(1)
+            wt = weight[:, g * cpg:(g + 1) * cpg, ty, tx]  # (cout, cpg)
+            out = out + torch.einsum("oc,bchw->bohw", wt, samp)
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
+class _ModulatedDeformConvPack(nn.Module):
+    """Pure-torch ModulatedDeformConvPack (ref deform_conv.py:293-383)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, deformable_groups=1,
+                 bias=True):
+        super().__init__()
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size, kernel_size)
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.deformable_groups = deformable_groups
+        self.weight = nn.Parameter(
+            torch.empty(out_channels, in_channels // groups, *kernel_size))
+        self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+        n = in_channels * kernel_size[0] * kernel_size[1]
+        self.weight.data.uniform_(-1 / math.sqrt(n), 1 / math.sqrt(n))
+        self.conv_offset = nn.Conv2d(
+            in_channels,
+            deformable_groups * 3 * kernel_size[0] * kernel_size[1],
+            kernel_size=kernel_size, stride=stride, padding=padding,
+            dilation=dilation, bias=True)
+        self.conv_offset.weight.data.zero_()
+        self.conv_offset.bias.data.zero_()
+
+    def forward(self, x):
+        out = self.conv_offset(x)
+        o1, o2, mask = torch.chunk(out, 3, dim=1)
+        offset = torch.cat((o1, o2), dim=1)
+        mask = torch.sigmoid(mask)
+        return _modulated_deform_conv(
+            x, offset, mask, self.weight, self.bias, self.stride,
+            self.padding, self.dilation, self.groups,
+            self.deformable_groups)
+
+
 def install_stubs():
     if "basicsr" in sys.modules:
         return
@@ -96,8 +190,8 @@ def install_stubs():
     up.upfirdn2d = _upfirdn2d
 
     dcn = pkg("basicsr.ops.dcn")
-    dcn.ModulatedDeformConvPack = object
-    dcn.modulated_deform_conv = None
+    dcn.ModulatedDeformConvPack = _ModulatedDeformConvPack
+    dcn.modulated_deform_conv = _modulated_deform_conv
     dcn.DeformConv = object
     dcn.DeformConvPack = object
     dcn.deform_conv = None

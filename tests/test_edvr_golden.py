@@ -1,0 +1,81 @@
+"""DCNv2 + EDVR golden parity vs the reference at imported weights.
+
+The reference's CUDA modulated deform conv is reproduced in pure torch in
+ref_loader (same im2col decode: per-group interleaved (y,x) taps crossing
+the o1/o2 concat boundary), which both cross-validates our gather-based
+TPU op on random offsets AND lets the full reference EDVR run on CPU for
+an end-to-end golden (PCD alignment + TSA fusion).
+"""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ref_loader import (_modulated_deform_conv, install_stubs,
+                        load_ref_arch)
+from image_restoration_tpu.ops.deform_conv import modulated_deform_conv
+
+pytestmark = pytest.mark.skipif(
+    not osp.exists("/root/reference/Car_Plate-Restoration"),
+    reason="reference not mounted")
+
+
+def test_deform_conv_matches_torch_reference(rng):
+    import torch
+    b, cin, cout, h, w, dg = 2, 8, 6, 9, 11, 2
+    k = 9
+    x = rng.random((b, cin, h, w)).astype(np.float32)
+    offset = (rng.random((b, dg * 2 * k, h, w)).astype(np.float32) - 0.5) * 4
+    mask = rng.random((b, dg * k, h, w)).astype(np.float32)
+    wgt = rng.random((cout, cin, 3, 3)).astype(np.float32) - 0.5
+    bias = rng.random((cout,)).astype(np.float32)
+
+    want = _modulated_deform_conv(
+        torch.from_numpy(x), torch.from_numpy(offset),
+        torch.from_numpy(mask), torch.from_numpy(wgt),
+        torch.from_numpy(bias), stride=1, padding=1,
+        deformable_groups=dg).numpy()
+
+    got = np.asarray(modulated_deform_conv(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(offset.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+        jnp.asarray(wgt.transpose(2, 3, 1, 0)),
+        jnp.asarray(bias), stride=1, padding=1, deformable_groups=dg))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_edvr_golden_at_imported_weights(rng):
+    import torch
+    install_stubs()
+    ref = load_ref_arch("edvr_arch")
+    torch.manual_seed(0)
+    kw = dict(num_in_ch=3, num_out_ch=3, num_feat=16, num_frame=3,
+              deformable_groups=2, num_extract_block=1,
+              num_reconstruct_block=1, with_tsa=True)
+    tnet = ref.EDVR(**kw).eval()
+    # randomize the zero-initialized offset convs so DCN paths are live
+    with torch.no_grad():
+        for name, p in tnet.named_parameters():
+            if "conv_offset" in name:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    x = rng.random((2, 3, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(
+            x.transpose(0, 1, 4, 2, 3))).numpy()
+
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.convert.torch_import import import_network
+    jnet = build_network(dict(type="EDVR", **kw))
+    variables = jax.jit(jnet.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params = import_network("EDVR", jnet, variables, sd)["params"]
+    got = np.asarray(jax.jit(jnet.apply)({"params": params},
+                                         jnp.asarray(x)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=5e-4, atol=5e-4)
