@@ -134,8 +134,8 @@ class DUF(nn.Module):
         feat = DenseBlocks(num_block, 64, num_grow_ch, bn_eps=eps,
                            name="dense_block1", dtype=self.dtype)(feat, train)
         feat = DenseBlocksTemporalReduce(
-            num_grow_ch * 2 if self.num_layer == 16 else num_grow_ch,
-            bn_eps=eps, name="dense_block2", dtype=self.dtype)(feat, train)
+            num_grow_ch, bn_eps=eps, name="dense_block2",
+            dtype=self.dtype)(feat, train)
         feat = jax.nn.relu(_BN(self.dtype, eps, name="bn3d2")(feat, train))
         feat = jax.nn.relu(_conv3d(feat, 256, (1, 3, 3), "conv3d2", self))
 

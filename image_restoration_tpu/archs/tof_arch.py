@@ -57,8 +57,10 @@ class SPyNetTOF(nn.Module):
         flow = jnp.zeros((n, h // 16, w // 16, 2), ref.dtype)
         for level in range(4):
             hh, ww = refs[level].shape[1], refs[level].shape[2]
-            flow_up = resize(flow, (hh, ww), "bilinear") * 2.0
-            warped = flow_warp(supps[level], flow_up, padding_mode="border")
+            # ref :87: F.interpolate align_corners=True; flow_warp default
+            # zero padding (arch_util.flow_warp defaults)
+            flow_up = resize(flow, (hh, ww), "bilinear_ac") * 2.0
+            warped = flow_warp(supps[level], flow_up)
             flow = flow_up + self.basic_module[level](
                 jnp.concatenate([refs[level], warped, flow_up], axis=-1))
         return flow
@@ -82,6 +84,9 @@ class TOFlow(nn.Module):
         self.conv_4 = nn.Conv(3, (1, 1), name="conv_4", dtype=self.dtype)
 
     def __call__(self, lrs):
+        if self.adapt_official_weights:
+            # official 0-th-frame-is-reference order (ref :147-148)
+            lrs = lrs[:, jnp.array([3, 0, 1, 2, 4, 5, 6])]
         n, t, h, w, c = lrs.shape
         ref_idx = self.ref_idx
         mean = jnp.asarray([0.485, 0.456, 0.406], lrs.dtype)

@@ -118,6 +118,10 @@ def _fit(value: np.ndarray, target_shape: Tuple[int, ...],
             out_dim, c * h * w)
     if v.shape == target_shape:
         return v
+    if v.ndim == 5:  # Conv3d (O,I,D,H,W) → (D,H,W,I,O)
+        t = v.transpose(2, 3, 4, 1, 0)
+        if t.shape == target_shape:
+            return t
     if v.ndim == 4:
         for perm in [(2, 3, 1, 0), (0, 2, 3, 1)]:
             t = v.transpose(perm)
@@ -246,6 +250,35 @@ def stylegan_gen_key_rules():
     ]
 
 
+def fold_conv_bn_pairs(state_dict: Dict, conv_re: str,
+                       eps: float = 1e-5) -> Dict:
+    """Fold `Conv(bias=False) → BatchNorm` Sequential pairs into a single
+    conv weight+bias (eval semantics: scale = γ/√(var+ε),
+    bias = β − mean·scale). `conv_re` must capture (prefix, index); the BN
+    is expected at index+1. Non-matching keys pass through."""
+    out = dict(state_dict)
+    for key in list(state_dict):
+        m = re.match(conv_re, key)
+        if not m:
+            continue
+        prefix, idx = m.group(1), int(m.group(2))
+        bn = f"{prefix}.{idx + 1}"
+        if f"{bn}.running_mean" not in state_dict:
+            continue  # final conv without BN
+        gamma = np.asarray(state_dict[f"{bn}.weight"], np.float32)
+        beta = np.asarray(state_dict[f"{bn}.bias"], np.float32)
+        mean = np.asarray(state_dict[f"{bn}.running_mean"], np.float32)
+        var = np.asarray(state_dict[f"{bn}.running_var"], np.float32)
+        scale = gamma / np.sqrt(var + eps)
+        w = np.asarray(state_dict[key], np.float32)  # (O,I,kh,kw)
+        out[key] = w * scale[:, None, None, None]
+        out[f"{prefix}.{idx}.bias"] = beta - mean * scale
+        for suffix in ("weight", "bias", "running_mean", "running_var",
+                       "num_batches_tracked"):
+            out.pop(f"{bn}.{suffix}", None)
+    return out
+
+
 def import_network(arch_name: str, module, variables, state_dict):
     """Convert `state_dict` for a known arch into `variables`' params tree."""
     params = variables["params"]
@@ -262,6 +295,56 @@ def import_network(arch_name: str, module, variables, state_dict):
         channels = stylegan_channels(module.channel_multiplier, module.narrow)
         ratio = int(module.input_width / module.input_height)
         fixes = {"final_linear_0": (channels[4], 4, 4 * ratio)}
+    elif arch_name in ("EDSR", "RCAN"):
+        # arch_util.Upsample Sequential: convs at even indices
+        rules = [
+            (r"upsample\.(\d+)\.",
+             lambda m: f"upsample.conv_{int(m.group(1)) // 2}."),
+            # RCAN nesting: body.G.residual_group.B.rcab.{0,2,3.attention}
+            (r"^body\.(\d+)\.residual_group\.(\d+)\.rcab\.0\.",
+             r"group_\1.rcab_\2.conv1."),
+            (r"^body\.(\d+)\.residual_group\.(\d+)\.rcab\.2\.",
+             r"group_\1.rcab_\2.conv2."),
+            (r"^body\.(\d+)\.residual_group\.(\d+)\.rcab\.3\.attention\.1\.",
+             r"group_\1.rcab_\2.attention.fc1."),
+            (r"^body\.(\d+)\.residual_group\.(\d+)\.rcab\.3\.attention\.3\.",
+             r"group_\1.rcab_\2.attention.fc2."),
+            (r"^body\.(\d+)\.conv\.", r"group_\1.conv."),
+        ]
+    elif arch_name == "DUF":
+        # dense blocks: Sequential [BN,ReLU,conv1x1,BN,ReLU,conv3x3]
+        rules = [
+            (r"dense_block1\.dense_blocks\.(\d+)\.0\.",
+             r"dense_block1.bn1_\1.bn."),
+            (r"dense_block1\.dense_blocks\.(\d+)\.2\.",
+             r"dense_block1.conv1_\1."),
+            (r"dense_block1\.dense_blocks\.(\d+)\.3\.",
+             r"dense_block1.bn2_\1.bn."),
+            (r"dense_block1\.dense_blocks\.(\d+)\.5\.",
+             r"dense_block1.conv2_\1."),
+            (r"dense_block2\.temporal_reduce(\d)\.0\.",
+             lambda m: f"dense_block2.bn1_{int(m.group(1)) - 1}.bn."),
+            (r"dense_block2\.temporal_reduce(\d)\.2\.",
+             lambda m: f"dense_block2.conv1_{int(m.group(1)) - 1}."),
+            (r"dense_block2\.temporal_reduce(\d)\.3\.",
+             lambda m: f"dense_block2.bn2_{int(m.group(1)) - 1}.bn."),
+            (r"dense_block2\.temporal_reduce(\d)\.5\.",
+             lambda m: f"dense_block2.conv2_{int(m.group(1)) - 1}."),
+            (r"^bn3d2\.", "bn3d2.bn."),
+        ]
+    elif arch_name == "TOFlow":
+        # SPyNetTOF interleaves bias-free convs with BatchNorm (tof_arch
+        # BasicModule :16-29); our module is the eval-only folded form, so
+        # fold γ/β/stats into each conv's kernel+bias at import.
+        state_dict = fold_conv_bn_pairs(
+            state_dict, conv_re=r"(spynet\.basic_module\.\d+\."
+                                r"basic_module)\.(\d+)\.weight$")
+        rules = [
+            (r"spynet\.basic_module\.(\d+)\.basic_module\.(\d+)\.",
+             lambda m: (f"spynet.basic_module_{m.group(1)}."
+                        f"conv{int(m.group(2)) // 3}.")),
+            (r"^(mean|std)$", None),
+        ]
     elif arch_name in ("BasicVSR", "IconVSR"):
         # SpyNet submodule: torch basic_module.N.basic_module.M Sequential
         # → flax basic_module_N.conv{M//2}; mean/std are constants here
@@ -288,7 +371,19 @@ def import_network(arch_name: str, module, variables, state_dict):
             if f"to_rgbs_{i}" not in params:
                 drop.append((rf"^to_rgbs\.{i}\.", None))
         rules = drop
-    new_params = convert_state_dict(state_dict, params, rules, fixes)
+    # BN archs: route running statistics into the batch_stats collection
+    # (flax leaf names mean/var), everything else into params.
+    bs = variables.get("batch_stats")
+    stats_keys = tuple(k for k in state_dict
+                       if k.endswith(("running_mean", "running_var")))
     out = dict(variables)
-    out["params"] = new_params
+    if bs is not None and stats_keys:
+        out["batch_stats"] = convert_state_dict(
+            {k: state_dict[k] for k in stats_keys}, bs, rules)
+    if stats_keys or any(k.endswith("num_batches_tracked")
+                         for k in state_dict):
+        state_dict = {k: v for k, v in state_dict.items()
+                      if not k.endswith(("running_mean", "running_var",
+                                         "num_batches_tracked"))}
+    out["params"] = convert_state_dict(state_dict, params, rules, fixes)
     return out
