@@ -311,6 +311,20 @@ def import_network(arch_name: str, module, variables, state_dict):
              r"group_\1.rcab_\2.attention.fc2."),
             (r"^body\.(\d+)\.conv\.", r"group_\1.conv."),
         ]
+    elif arch_name == "SRVGGNetCompact":
+        # Real-ESRGAN layout: body ModuleList interleaves convs (even
+        # indices) and PReLU (odd); the final conv is the last entry.
+        nlast = 2 * (module.num_conv + 1)
+
+        def _body(m):
+            i = int(m.group(1))
+            if i == nlast:
+                return f"conv_last.{m.group(2)}"
+            if i % 2:
+                return f"prelu_{i // 2}"  # PReLU alpha leaf
+            return f"body_{i // 2}.{m.group(2)}"
+
+        rules = [(r"^body\.(\d+)\.(weight|bias)$", _body)]
     elif arch_name == "DUF":
         # dense blocks: Sequential [BN,ReLU,conv1x1,BN,ReLU,conv3x3]
         rules = [

@@ -49,7 +49,8 @@ def test_deform_conv_matches_torch_reference(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_edvr_golden_at_imported_weights(rng):
+@pytest.mark.parametrize("variant", ["tsa", "predeblur"])
+def test_edvr_golden_at_imported_weights(rng, variant):
     import torch
     install_stubs()
     ref = load_ref_arch("edvr_arch")
@@ -57,6 +58,8 @@ def test_edvr_golden_at_imported_weights(rng):
     kw = dict(num_in_ch=3, num_out_ch=3, num_feat=16, num_frame=3,
               deformable_groups=2, num_extract_block=1,
               num_reconstruct_block=1, with_tsa=True)
+    if variant == "predeblur":
+        kw.update(with_predeblur=True, hr_in=True)
     tnet = ref.EDVR(**kw).eval()
     # randomize the zero-initialized offset convs so DCN paths are live
     with torch.no_grad():
