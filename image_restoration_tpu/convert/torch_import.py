@@ -311,6 +311,21 @@ def import_network(arch_name: str, module, variables, state_dict):
              r"group_\1.rcab_\2.attention.fc2."),
             (r"^body\.(\d+)\.conv\.", r"group_\1.conv."),
         ]
+    elif arch_name == "RIDNet":
+        rules = [
+            (r"^(sub_mean|add_mean)\..*", None),
+            (r"^body\.(\d+)\.", lambda m: f"body_{m.group(1)}."),
+            (r"merge\.dilation1\.0\.", "merge.d1_conv1."),
+            (r"merge\.dilation1\.2\.", "merge.d1_conv2."),
+            (r"merge\.dilation2\.0\.", "merge.d2_conv1."),
+            (r"merge\.dilation2\.2\.", "merge.d2_conv2."),
+            (r"merge\.aggregation\.0\.", "merge.agg."),
+            (r"block2\.body\.0\.", "block2.conv1."),
+            (r"block2\.body\.2\.", "block2.conv2."),
+            (r"block2\.body\.4\.", "block2.conv3."),
+            (r"ca\.attention\.1\.", "ca.fc1."),
+            (r"ca\.attention\.3\.", "ca.fc2."),
+        ]
     elif arch_name == "SRVGGNetCompact":
         # Real-ESRGAN layout: body ModuleList interleaves convs (even
         # indices) and PReLU (odd); the final conv is the last entry.

@@ -32,12 +32,18 @@ def main():
     p.add_argument("--input_hw", type=int, nargs=2, default=[256, 256])
     args = p.parse_args()
 
+    import os
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
     from image_restoration_tpu.archs import build_network
     from image_restoration_tpu.convert.torch_import import (import_network,
                                                             load_pth)
+
+    # the axon plugin overrides the JAX_PLATFORMS env var; re-apply it so
+    # CPU conversion works in subprocesses
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     cfg = json.loads(args.config)
     cfg["type"] = args.arch
