@@ -123,6 +123,31 @@ class _LmdbBackend:
         return [k.decode("ascii") for k in self._dbs[client_key].keys()]
 
 
+class _MemcachedBackend:
+    """Memcached read backend (ref file_client.py:19-55): gated on the
+    proprietary `mc` client the reference also requires; configs that name
+    it fail with the same actionable ImportError instead of a KeyError."""
+
+    def __init__(self, server_list_cfg: str, client_cfg: str,
+                 sys_path: Optional[str] = None):
+        if sys_path is not None:
+            import sys
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError:
+            raise ImportError(
+                "Please install memcached to enable MemcachedBackend.")
+        self._mc = mc
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
+                                                      client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath: str) -> bytes:
+        self._client.Get(str(filepath), self._mc_buffer)
+        return self._mc.ConvertBuffer(self._mc_buffer)
+
+
 class FileClient:
     """Unified client (ref file_client.py:132-167)."""
 
@@ -130,6 +155,10 @@ class FileClient:
         self.backend = backend
         if backend == "disk":
             self._client = None
+        elif backend == "memcached":
+            self._client = _MemcachedBackend(
+                kwargs["server_list_cfg"], kwargs["client_cfg"],
+                kwargs.get("sys_path"))
         elif backend == "lmdb":
             path = kwargs.get("db_paths") or kwargs.get("pak_path")
             self._client = _LmdbBackend(
