@@ -9,7 +9,7 @@ returns intermediate features for the feature-matching loss.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ permutation).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
