@@ -51,9 +51,18 @@ class ServiceCore:
     """Endpoint logic shared by both HTTP shells."""
 
     def __init__(self, pipeline: Optional[PlatePipeline] = None,
-                 restorer=None):
+                 restorer=None, sr_engine=None):
         self.pipeline = pipeline or PlatePipeline()
         self.restorer = restorer or self.pipeline.car_restorer
+        # tiled-SR engine (scripts/export_restorer.py artifact); also
+        # loadable from the IRT_SR_ENGINE env var
+        if sr_engine is None:
+            import os
+            eng_dir = os.environ.get("IRT_SR_ENGINE")
+            if eng_dir:
+                from .engine_restorer import EngineRestorer
+                sr_engine = EngineRestorer(eng_dir)
+        self.sr_engine = sr_engine
 
     def vehicle_resolution(self, img_bgr: np.ndarray) -> bytes:
         result = self.pipeline.process(img_bgr)
@@ -81,10 +90,24 @@ class ServiceCore:
         return buf.tobytes()
 
 
+    def sr_x4(self, img_bgr: np.ndarray) -> bytes:
+        """Tiled ×upscale SR of an arbitrary-size image through the
+        exported serving engine (no resize — the tiler handles size)."""
+        if self.sr_engine is None:
+            raise RuntimeError(
+                "no SR engine configured: export one with "
+                "scripts/export_restorer.py and set IRT_SR_ENGINE")
+        rgb = img_bgr[..., ::-1].astype(np.float32) / 255.0
+        out = self.sr_engine(rgb)
+        ok, buf = cv2.imencode(".png", out[..., ::-1])
+        return buf.tobytes()
+
+
 ROUTES = {
     "/Vehicle_Resolution_GFPGAN/": ("vehicle_resolution", "image/png"),
     "/Restore/": ("restore", "image/jpeg"),
     "/RestoreConcat/": ("restore_concat", "image/jpeg"),
+    "/SRx4/": ("sr_x4", "image/png"),
 }
 
 
@@ -110,6 +133,11 @@ def create_app(core: Optional[ServiceCore] = None):
     async def restore_concat(file: bytes = File(...)):  # noqa: ANN001
         img = _decode_request_image(file)
         return Response(core.restore_concat(img), media_type="image/jpeg")
+
+    @app.post("/SRx4/")
+    async def sr_x4(file: bytes = File(...)):  # noqa: ANN001
+        img = _decode_request_image(file)
+        return Response(core.sr_x4(img), media_type="image/png")
 
     return app
 
