@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # minutes-long: compile-heavy train steps
+
 REPO = osp.normpath(osp.join(osp.dirname(__file__), os.pardir))
 CONFIG_ROOT = osp.join(REPO, "configs")
 ALL_CONFIGS = sorted(

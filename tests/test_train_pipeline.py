@@ -3,9 +3,12 @@ full train_pipeline for a handful of iterations on the CPU mesh."""
 
 import os
 
+import pytest
 import numpy as np
 import cv2
 import yaml
+
+pytestmark = pytest.mark.slow  # minutes-long: compile-heavy train steps
 
 
 CONFIG = """

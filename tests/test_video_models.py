@@ -1,10 +1,13 @@
 """Video + HiFaceGAN trainer smoke tests: one optimization step each."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models import build_model
+
+pytestmark = pytest.mark.slow  # minutes-long: compile-heavy train steps
 
 
 def _base_opt(tmp_path):

@@ -1,10 +1,13 @@
 """Video pipeline: IOU tracker association + end-to-end over a tiny mp4."""
 
+import pytest
 import numpy as np
 import cv2
 
 from image_restoration_tpu.serve.video import IOUTracker, VideoPipeline
 from image_restoration_tpu.detect.engine import PlateDetector
+
+pytestmark = pytest.mark.slow  # minutes-long: compile-heavy train steps
 
 
 def test_iou_tracker_association():
