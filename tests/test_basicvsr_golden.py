@@ -14,9 +14,9 @@ from ref_loader import install_stubs, load_ref_arch
 from image_restoration_tpu.archs import build_network
 from image_restoration_tpu.convert.torch_import import import_network
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not osp.exists("/root/reference/Car_Plate-Restoration"),
-    reason="reference not mounted")
+    reason="reference not mounted")]
 
 
 def _golden(arch_name, jkw, tkw, t=4, size=64, tol=5e-4):

@@ -18,9 +18,9 @@ from ref_loader import (_modulated_deform_conv, install_stubs,
                         load_ref_arch)
 from image_restoration_tpu.ops.deform_conv import modulated_deform_conv
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not osp.exists("/root/reference/Car_Plate-Restoration"),
-    reason="reference not mounted")
+    reason="reference not mounted")]
 
 
 def test_deform_conv_matches_torch_reference(rng):

@@ -16,9 +16,9 @@ from ref_loader import load_ref_arch
 from image_restoration_tpu.archs import build_network
 from image_restoration_tpu.convert.torch_import import import_network
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not osp.exists("/root/reference/Car_Plate-Restoration"),
-    reason="reference not mounted")
+    reason="reference not mounted")]
 
 
 def _torch_net(cls_name, **kw):

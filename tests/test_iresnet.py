@@ -19,6 +19,8 @@ from image_restoration_tpu.archs import build_network  # noqa: E402
 from image_restoration_tpu.convert.iresnet_import import (  # noqa: E402
     import_iresnet)
 
+pytestmark = pytest.mark.slow  # minutes-long golden suites
+
 
 def conv3x3(inp, out, stride=1):
     return nn.Conv2d(inp, out, 3, stride, 1, bias=False)
