@@ -190,21 +190,24 @@ def main():
     # ---- diagnostics (after the headline JSON: a timeout here must not
     # lose the result)
     try:
-        # halo sensitivity: tiled bf16 vs full-image bf16 (random weights
-        # = worst case)
+        # halo sensitivity: tiled bf16 vs full-image bf16 — PURE tiling
+        # error, same dtype on both sides (quantization noise measured
+        # separately by the gate above). Random weights = worst case.
         from image_restoration_tpu.parallel.tiling import tiled_apply
         full_np, real = real_tiles(1024, 2, rng)
         full = jnp.asarray(full_np)
         want = np.asarray(jax.jit(apply_packed)(
             packed, full.astype(jnp.bfloat16))).astype(np.float32)
+        span = float(want.max() - want.min()) or 1.0
         for halo in (16, HALO):
             got = np.asarray(tiled_apply(
-                lambda x: apply_int8(qparams, x), full, tile=TILE,
-                halo=halo, scale=4)).astype(np.float32)
+                lambda x: apply_packed(packed, x.astype(jnp.bfloat16)),
+                full, tile=TILE, halo=halo, scale=4)).astype(np.float32)
             mse = float(np.mean((got - want) ** 2))
-            log(f"tiled-int8 halo={halo} vs full-bf16 PSNR "
-                f"(worst-case random weights): "
-                f"{10 * np.log10(1.0 / max(mse, 1e-12)):.2f} dB")
+            log(f"tiled-bf16 halo={halo} vs full-bf16 PSNR "
+                f"(pure tiling error, span-normalized, worst-case random "
+                f"weights): {10 * np.log10(span ** 2 / max(mse, 1e-12)):.2f}"
+                f" dB")
     except Exception as e:
         log(f"halo diagnostic failed: {e}")
 

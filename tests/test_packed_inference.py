@@ -59,3 +59,24 @@ def test_pallas_int8_conv_matches_xla(rng):
     hf = jnp.where(hf >= 0, hf, hf * a)
     want = jnp.clip(jnp.round(hf * (127.0 / so)), -127, 127).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_widened_rrdbnet_matches_plain(rng):
+    """Concat-absorbed (input-grouped) RRDB forward == plain forward.
+
+    The re-association is FLOP-identical; f32 agreement is to summation-
+    order rounding. Covers g=1 and the composed g=2 tile packing."""
+    from image_restoration_tpu.ops.rrdb_widened import (
+        widen_rrdbnet_params, widened_rrdbnet_forward)
+    num_block = 2
+    net = build_network(dict(type="RRDBNet", scale=4, num_feat=16,
+                             num_block=num_block, num_grow_ch=8))
+    x = jnp.asarray(rng.random((4, 10, 12, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    plain = np.asarray(net.apply(variables, x))
+    for g in (1, 2):
+        wp = widen_rrdbnet_params(variables["params"], num_block, g=g,
+                                  nf=16, gc=8, dtype=jnp.float32)
+        got = np.asarray(widened_rrdbnet_forward(wp, x, num_block, 4))
+        np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"g={g}")

@@ -65,3 +65,35 @@ def test_crop_halo_interior_exact(rng):
                                           crop_halo=halo),
         img, tile=16, halo=halo, scale=upscale, out_halo=0))
     np.testing.assert_array_equal(a, b)
+
+
+def test_rrdb_int8_quality(rng):
+    """RRDB widened int8 PTQ vs the plain f32 forward: span-normalized
+    PSNR must clear the serving gate comfortably on smooth content
+    (345 quantized convs with residual accumulation across blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.ops.rrdb_quant import (
+        calibrate_rrdb_act_scales, quantize_rrdb_params,
+        quantized_rrdb_forward)
+
+    num_block = 2
+    net = build_network(dict(type="RRDBNet", scale=4, num_feat=64,
+                             num_block=num_block))
+    # smooth-ish content (like images): random low-freq mixture
+    base = rng.random((2, 6, 6, 3)).astype(np.float32)
+    x = jnp.asarray(np.repeat(np.repeat(base, 4, 1), 4, 2))  # 24×24
+    variables = net.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(net.apply(variables, x)).astype(np.float32)
+
+    scales = np.asarray(calibrate_rrdb_act_scales(
+        variables["params"], x, num_block))
+    qp = quantize_rrdb_params(variables["params"], scales, num_block)
+    got = np.asarray(quantized_rrdb_forward(qp, x, num_block)).astype(
+        np.float32)
+    assert got.shape == want.shape
+    mse = float(np.mean((got - want) ** 2))
+    span = float(want.max() - want.min()) or 1.0
+    psnr = 10 * np.log10(span ** 2 / max(mse, 1e-12))
+    assert psnr >= 35.0, f"int8 RRDB PSNR {psnr:.1f} dB"

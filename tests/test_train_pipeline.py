@@ -154,3 +154,34 @@ def test_train_pipeline_end_to_end(tmp_path):
     # validation images saved
     vis = tmp_path / "experiments" / "debug_tiny_gfpgan" / "visualization"
     assert any(vis.iterdir())
+
+
+def test_train_pipeline_identity_loss(tmp_path):
+    """The identity-loss path (configs/train_gfpgan_plate_256_identity.yml
+    at production scale) driven end-to-end at tiny shapes: IResNet18
+    embeddings on the 112²-resized output, frozen net, l_identity logged
+    and finite (ref gfpgan_model.py:185-205,645-657 — broken upstream,
+    working here)."""
+    from image_restoration_tpu.train import train_pipeline
+
+    gt_dir = tmp_path / "gt"
+    os.makedirs(gt_dir)
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f"img_{i}.png"), img)
+
+    cfg = yaml.safe_load(CONFIG.format(root=tmp_path))
+    cfg["name"] = "debug_tiny_gfpgan_identity"
+    cfg["network_identity"] = {"type": "IResNet18", "num_features": 32}
+    cfg["train"]["identity_weight"] = 10
+    cfg["train"]["total_iter"] = 2
+    cfg["val"]["val_freq"] = 100  # skip val: identity is a train-side loss
+    cfg["logger"]["save_checkpoint_freq"] = 2
+    cfg_path = tmp_path / "tiny_identity.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    model = train_pipeline(str(tmp_path), argv=["-opt", str(cfg_path)])
+    assert int(model.state["iter"]) == 2
+    assert "l_identity" in model.log_dict
+    assert all(np.isfinite(v) for v in model.log_dict.values())

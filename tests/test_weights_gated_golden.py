@@ -1,0 +1,155 @@
+"""Weights-gated goldens for the FID InceptionV3 backbone and LPIPS.
+
+The pt_inception FID weights, the torchvision vgg16 state_dict and the
+lpips lin-layer checkpoint are DATA this zero-egress environment cannot
+fetch (VERDICT r2 §missing-1). These tests validate our flax
+implementations against the torch formulations *when the weight files are
+provided* via env vars, and auto-skip cleanly otherwise:
+
+  IR_TPU_INCEPTION_WEIGHTS  pt_inception-2015-12-05-6726825d.pth
+                            (ref basicsr/archs/inception.py:176-185)
+  IR_TPU_VGG16_WEIGHTS      torchvision vgg16 state_dict .pth
+  IR_TPU_LPIPS_WEIGHTS      lpips/weights/v0.1/vgg.pth (lin layers)
+                            (ref scripts/metrics/calculate_lpips.py)
+
+Run e.g.:
+  IR_TPU_INCEPTION_WEIGHTS=/path/pt_inception.pth pytest \
+      tests/test_weights_gated_golden.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+INCEPTION_ENV = "IR_TPU_INCEPTION_WEIGHTS"
+VGG16_ENV = "IR_TPU_VGG16_WEIGHTS"
+LPIPS_ENV = "IR_TPU_LPIPS_WEIGHTS"
+
+
+def _env_file(var):
+    p = os.environ.get(var)
+    return p if p and os.path.isfile(p) else None
+
+
+@pytest.mark.skipif(_env_file(INCEPTION_ENV) is None,
+                    reason=f"set {INCEPTION_ENV} to the pt_inception .pth "
+                           "(unobtainable in this zero-egress environment)")
+def test_inception_fid_features_golden():
+    """Our InceptionV3 at imported pt_inception weights vs the reference
+    torch net (basicsr/archs/inception.py:17-307) — pooled 2048-d FID
+    features on the same batch."""
+    torchvision = pytest.importorskip(
+        "torchvision", reason="reference inception.py needs torchvision")
+    import torch
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_loader import load_ref_arch
+
+    weights = _env_file(INCEPTION_ENV)
+    ref_mod = load_ref_arch("inception")
+    # build the ref net without its load_url path: instantiate and load
+    # the provided state dict directly (ref :176-185)
+    ref = ref_mod.InceptionV3(output_blocks=[3], resize_input=True,
+                              normalize_input=True, use_fid_inception=True)
+    # the ctor may already have tried LOCAL_FID_WEIGHTS; force our file
+    sd = torch.load(weights, map_location="cpu", weights_only=False)
+    missing = [k for k in ref.state_dict() if k not in
+               {f"blocks.{i}" for i in range(4)}]
+    del missing
+    try:
+        ref.load_state_dict(sd, strict=False)
+    except Exception:
+        pass
+    ref.eval()
+
+    from image_restoration_tpu.metrics.fid import load_patched_inception_v3
+    extract = load_patched_inception_v3(weights)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 128, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 3, 1, 2))[0]
+        want = want.squeeze(-1).squeeze(-1).numpy()
+    got = np.asarray(extract(x))
+    assert got.shape == want.shape == (2, 2048)
+    assert np.max(np.abs(got - want)) < 2e-3, \
+        f"max|Δ|={np.max(np.abs(got - want))}"
+
+
+def _torch_vgg16_taps(sd, x):
+    """Pure-torch VGG16 features at the five lpips taps, from a torchvision
+    state_dict — no torchvision dependency (layout: features.{idx}.weight,
+    conv indices fixed by the vgg16 'D' config)."""
+    import torch
+    import torch.nn.functional as F
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    taps_after = {3, 8, 15, 22, 29}  # relu indices of the lpips taps
+    outs = []
+    idx = 0
+    h = x
+    for c in cfg:
+        if c == "M":
+            h = F.max_pool2d(h, 2)
+            idx += 1
+            continue
+        w = torch.from_numpy(sd[f"features.{idx}.weight"])
+        b = torch.from_numpy(sd[f"features.{idx}.bias"])
+        h = F.conv2d(h, w, b, padding=1)
+        idx += 1
+        h = F.relu(h)
+        if idx in taps_after:
+            outs.append(h)
+        idx += 1
+    return outs
+
+
+@pytest.mark.skipif(_env_file(VGG16_ENV) is None or
+                    _env_file(LPIPS_ENV) is None,
+                    reason=f"set {VGG16_ENV} + {LPIPS_ENV} to the "
+                           "torchvision vgg16 and lpips vgg.pth weight "
+                           "files (unobtainable here, zero egress)")
+def test_lpips_golden():
+    """Our LPIPS (metrics/lpips.py) at imported weights vs the lpips
+    package formula computed in pure torch from the same state dicts
+    (package net='vgg': ScalingLayer → VGG16 taps → unit-normalize →
+    squared diff → lin 1×1 → spatial mean → sum)."""
+    import torch
+
+    def to_np(obj):
+        return {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+                for k, v in obj.items()}
+
+    vgg_sd = to_np(torch.load(_env_file(VGG16_ENV), map_location="cpu",
+                              weights_only=False))
+    lin_sd = to_np(torch.load(_env_file(LPIPS_ENV), map_location="cpu",
+                              weights_only=False))
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+    b = (rng.random((1, 64, 64, 3)) * 2 - 1).astype(np.float32)
+
+    # ---- torch reference
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+
+    def feats(img):
+        t = torch.from_numpy(img).permute(0, 3, 1, 2)
+        return _torch_vgg16_taps(vgg_sd, (t - shift) / scale)
+
+    def unit(f):
+        return f / (f.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+    want = 0.0
+    for i, (fa, fb) in enumerate(zip(feats(a), feats(b))):
+        d = (unit(fa) - unit(fb)).pow(2)
+        w = torch.from_numpy(lin_sd[f"lin{i}.model.1.weight"])
+        want += torch.nn.functional.conv2d(d, w).mean((2, 3)).sum().item()
+
+    # ---- ours
+    from image_restoration_tpu.metrics.lpips import LPIPS
+    fn = LPIPS(lpips_weights_path=_env_file(LPIPS_ENV),
+               vgg_weights_path=_env_file(VGG16_ENV))
+    got = float(fn(a[0], b[0]))
+    assert abs(got - want) < 1e-4, f"lpips {got} vs torch {want}"
