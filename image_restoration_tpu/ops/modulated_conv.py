@@ -23,15 +23,67 @@ Weight layout: HWIO (kh, kw, Cin, Cout). Activations: NHWC.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 
 from .upfirdn import upfirdn_smooth
 
+# ---- dynamic-int8 serving mode (GFPGAN PTQ study, docs/PERFORMANCE.md).
+# When enabled, every conv routed through this module (EqualConv2d,
+# ConvLayer, StyleConv/ToRGB modulated convs — i.e. the whole StyleGAN2/
+# GFPGAN family) runs with per-OUT-CHANNEL int8 weights and per-tensor
+# DYNAMIC int8 activations: the activation scale is max|x|/127 computed on
+# the fly (one VPU reduction per conv — self-calibrating, no calibration
+# pass, exact analog of TensorRT's dynamic-range int8). The epilogue
+# dequantizes in bf16. Trace-time flag: re-jit after toggling.
+_INT8_SERVING = False
+
+
+@contextmanager
+def int8_serving():
+    """Enable dynamic-int8 convs inside the with-block's traces."""
+    global _INT8_SERVING
+    _INT8_SERVING = True
+    try:
+        yield
+    finally:
+        _INT8_SERVING = False
+
+
+def _dyn_quant(t):
+    s = jnp.max(jnp.abs(t.astype(jnp.float32))) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s.astype(jnp.float32)
+
+
+def _quant_weight(w):
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=(0, 1, 2)) / 127.0 + 1e-12  # per out-ch
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _int8_conv(x, w_hwio, stride, padding, lhs_dilation=None,
+               out_dtype=None):
+    xq, sx = _dyn_quant(x)
+    wq, sw = _quant_weight(w_hwio)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride),
+        padding=padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    deq = (sx * sw).astype(jnp.bfloat16)
+    return (acc.astype(jnp.bfloat16) * deq).astype(out_dtype or x.dtype)
+
 
 def conv2d(x: jax.Array, w_hwio: jax.Array, stride: int = 1,
            padding: int = 0) -> jax.Array:
     """Plain NHWC conv (torch Conv2d semantics: correlation, symmetric pad)."""
+    if _INT8_SERVING:
+        return _int8_conv(x, w_hwio, stride,
+                          ((padding, padding), (padding, padding)))
     return jax.lax.conv_general_dilated(
         x, w_hwio.astype(x.dtype),
         window_strides=(stride, stride),
@@ -48,6 +100,10 @@ def conv_transpose2d(x: jax.Array, w_hwio: jax.Array, stride: int = 2) -> jax.Ar
     """
     kh, kw = w_hwio.shape[0], w_hwio.shape[1]
     w = jnp.flip(w_hwio, (0, 1)).astype(x.dtype)
+    if _INT8_SERVING:
+        return _int8_conv(x, w, 1,
+                          ((kh - 1, kh - 1), (kw - 1, kw - 1)),
+                          lhs_dilation=(stride, stride))
     return jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),

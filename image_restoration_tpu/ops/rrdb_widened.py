@@ -75,7 +75,7 @@ def widen_rrdbnet_params(params: Dict, num_block: int, g: int = 1,
     Head/tail convs are packed block-diagonally when g>1; the 23 body
     blocks are stacked on a leading axis for lax.scan.
     """
-    out = {"g": g, "nf": nf, "gc": gc}
+    out = {}
 
     def bd(layer):
         w = layer["kernel"].astype(dtype)
@@ -155,14 +155,16 @@ def _widened_rdb_forward(x, st, nf, gc, g):
 
 
 def widened_rrdbnet_forward(wp: Dict, x: jax.Array, num_block: int,
-                            scale: int = 4) -> jax.Array:
+                            scale: int = 4, g: int = 1, nf: int = 64,
+                            gc: int = 32) -> jax.Array:
     """Exact RRDBNet x4 forward on the widened weights.
 
-    x: (N,H,W,3), N divisible by g. Matches archs/rrdbnet_arch.py to
-    floating-point re-association (f32: exact; bf16: rounding-level).
+    x: (N,H,W,3), N divisible by g — g/nf/gc are STATIC ints and must
+    match widen_rrdbnet_params (kept out of the params pytree so jit does
+    not trace them). Matches archs/rrdbnet_arch.py to floating-point
+    re-association (f32: exact; bf16: rounding-level).
     """
     assert scale == 4, "widened RRDBNet implements the x4 head"
-    g, nf, gc = wp["g"], wp["nf"], wp["gc"]
     n = x.shape[0]
     assert n % g == 0, f"batch {n} must divide by pack factor {g}"
     dt = wp["conv_first"][0].dtype

@@ -58,6 +58,16 @@ def main(modes=None, bss=(1, 4)):
                             variables["params"])
 
     rows = []
+    ladder_path = os.path.join(ASSETS, "rrdb_ladder.json")
+    if os.path.isfile(ladder_path):   # accumulate across partial runs
+        old = json.load(open(ladder_path))
+        rows = [r for r in old.get("rows", [])]
+
+    def flush():
+        os.makedirs(ASSETS, exist_ok=True)
+        with open(ladder_path, "w") as f:
+            json.dump({"date": time.strftime("%Y-%m-%d"), "size": SIZE,
+                       "tile_flops_tflop": 9.2, "rows": rows}, f, indent=1)
 
     def record(name, bs, ms, extra=None):
         tps = bs / (ms / 1e3)
@@ -65,7 +75,10 @@ def main(modes=None, bss=(1, 4)):
                "tiles_per_sec": round(tps, 2)}
         if extra:
             row.update(extra)
+        rows[:] = [r for r in rows
+                   if not (r["mode"] == name and r["bs"] == bs)]
         rows.append(row)
+        flush()
         log(f"RRDB-23 x4 {SIZE}² {name} bs={bs}: {ms:.1f} ms → "
             f"{tps:.2f} tiles/s" + (f" {extra}" if extra else ""))
 
@@ -109,13 +122,13 @@ def main(modes=None, bss=(1, 4)):
     if "widened_g2" in modes:
         wp2 = widen_rrdbnet_params(variables["params"], NUM_BLOCK, g=2)
         bench("widened-g2-bf16",
-              lambda p, x: widened_rrdbnet_forward(p, x, NUM_BLOCK) * 1e-3,
-              wp2, 2)
+              lambda p, x: widened_rrdbnet_forward(p, x, NUM_BLOCK, g=2)
+              * 1e-3, wp2, 2)
     if "widened_g4" in modes:
         wp4 = widen_rrdbnet_params(variables["params"], NUM_BLOCK, g=4)
         bench("widened-g4-bf16",
-              lambda p, x: widened_rrdbnet_forward(p, x, NUM_BLOCK) * 1e-3,
-              wp4, 4)
+              lambda p, x: widened_rrdbnet_forward(p, x, NUM_BLOCK, g=4)
+              * 1e-3, wp4, 4)
 
     if "int8" in modes:
         try:
@@ -123,9 +136,15 @@ def main(modes=None, bss=(1, 4)):
                 calibrate_rrdb_act_scales, quantize_rrdb_params,
                 quantized_rrdb_forward)
             calib_np, real = real_tiles(160, 2, rng)
-            scales = jax.device_get(jax.jit(
-                lambda p, x: calibrate_rrdb_act_scales(p, x, NUM_BLOCK))(
-                params32, jnp.asarray(calib_np)))
+            # calibration unrolls 345 convs — run it EAGERLY on the host
+            # CPU backend (the remote compiler chokes on the unrolled
+            # graph; eager avoids compilation entirely)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                p_cpu = jax.device_put(params32, cpu)
+                scales = np.asarray(calibrate_rrdb_act_scales(
+                    p_cpu, jax.device_put(jnp.asarray(calib_np), cpu),
+                    NUM_BLOCK))
             qp = quantize_rrdb_params(jax.device_get(params32), scales,
                                       NUM_BLOCK)
             # quality gate vs bf16 on real content at a reduced size
@@ -152,11 +171,7 @@ def main(modes=None, bss=(1, 4)):
         except Exception as e:
             log(f"int8 path failed: {type(e).__name__}: {e}")
 
-    os.makedirs(ASSETS, exist_ok=True)
-    out = {"date": time.strftime("%Y-%m-%d"), "size": SIZE,
-           "tile_flops_tflop": 9.2, "rows": rows}
-    with open(os.path.join(ASSETS, "rrdb_ladder.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     log("wrote docs/assets/rrdb_ladder.json")
 
 

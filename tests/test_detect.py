@@ -91,6 +91,7 @@ def test_py_cpu_nms_runs(rng):
     assert keep == [0, 2]
 
 
+@pytest.mark.slow  # 114s; builds all 4 backbones (goldens cover 2)
 def test_retinaface_forward_shapes():
     net = build_network(dict(type="RetinaFace", backbone="Resnet18",
                              out_channel=64, phase="test"))
@@ -106,6 +107,7 @@ def test_retinaface_forward_shapes():
     np.testing.assert_allclose(s, 1.0, rtol=1e-4)  # softmax in test phase
 
 
+@pytest.mark.slow  # 142s; SGD trainer loop
 def test_multibox_training_decreases_loss():
     from image_restoration_tpu.detect.train import DetectorTrainer
     trainer = DetectorTrainer(backbone="Resnet18", image_size=64, lr=1e-2)

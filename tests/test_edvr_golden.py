@@ -18,7 +18,7 @@ from ref_loader import (_modulated_deform_conv, install_stubs,
                         load_ref_arch)
 from image_restoration_tpu.ops.deform_conv import modulated_deform_conv
 
-pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not osp.exists("/root/reference/Car_Plate-Restoration"),
     reason="reference not mounted")]
 
@@ -50,6 +50,7 @@ def test_deform_conv_matches_torch_reference(rng):
 
 
 @pytest.mark.parametrize("variant", ["tsa", "predeblur"])
+@pytest.mark.slow
 def test_edvr_golden_at_imported_weights(rng, variant):
     import torch
     install_stubs()

@@ -19,7 +19,6 @@ from image_restoration_tpu.archs import build_network  # noqa: E402
 from image_restoration_tpu.convert.iresnet_import import (  # noqa: E402
     import_iresnet)
 
-pytestmark = pytest.mark.slow  # minutes-long golden suites
 
 
 def conv3x3(inp, out, stride=1):
@@ -111,6 +110,7 @@ def test_iresnet18_golden_at_imported_weights(rng):
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_gfpgan_identity_loss_step(tmp_path):
     from image_restoration_tpu.models import build_model
     opt = {

@@ -113,6 +113,7 @@ def test_device_metrics_close_to_host():
     assert np.all(dev_ssim > 0.5) and np.all(dev_ssim <= 1.0)
 
 
+@pytest.mark.slow  # 103s; VGG16 compile
 def test_lpips_metric_properties():
     """LPIPS (uncalibrated weights): zero on identical, >0 on different,
     symmetric; registered-metric path handles BGR uint8 convention."""

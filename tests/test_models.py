@@ -191,6 +191,7 @@ def test_gfpgan_model_steps(tmp_path):
     assert res.shape == gt.shape
 
 
+@pytest.mark.slow  # 130s; relativistic-GAN step variant
 def test_esrgan_model_steps(tmp_path):
     opt = _base_opt(tmp_path)
     opt.update({
@@ -281,6 +282,7 @@ def _gfpgan_component_opt(tmp_path):
     return opt
 
 
+@pytest.mark.slow  # 237s: 10 stacked char-Ds through 2 full steps
 def test_gfpgan_component_discriminator_steps(tmp_path):
     """Ref gfpgan_model.py:556-642,700-760: per-char component GAN +
     Gram-style losses; the 10 char Ds train (stacked-vmap design)."""

@@ -18,7 +18,7 @@ from ref_loader import install_stubs, load_ref_arch
 from image_restoration_tpu.archs import build_network
 from image_restoration_tpu.convert.torch_import import import_network
 
-pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not osp.exists("/root/reference/Car_Plate-Restoration"),
     reason="reference not mounted")]
 
@@ -75,6 +75,7 @@ def test_rcan_golden(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_duf_golden(rng):
     import torch
     tnet = _make("duf_arch", "DUF",
@@ -104,6 +105,7 @@ def test_duf_golden(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_toflow_golden(rng):
     import torch
     tnet = _make("tof_arch", "TOFlow", dict(adapt_official_weights=True))

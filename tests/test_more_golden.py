@@ -90,6 +90,7 @@ def test_diffjpeg_differentiable_grad():
     assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.slow  # 104s; remat-vs-plain trainer equivalence
 def test_gfpgan_remat_matches_nonremat(tmp_path):
     from image_restoration_tpu.models import build_model
     base = {

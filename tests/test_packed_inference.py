@@ -77,6 +77,7 @@ def test_widened_rrdbnet_matches_plain(rng):
     for g in (1, 2):
         wp = widen_rrdbnet_params(variables["params"], num_block, g=g,
                                   nf=16, gc=8, dtype=jnp.float32)
-        got = np.asarray(widened_rrdbnet_forward(wp, x, num_block, 4))
+        got = np.asarray(widened_rrdbnet_forward(wp, x, num_block, 4,
+                                                 g=g, nf=16, gc=8))
         np.testing.assert_allclose(got, plain, rtol=1e-4, atol=1e-5,
                                    err_msg=f"g={g}")

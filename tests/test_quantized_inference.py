@@ -97,3 +97,34 @@ def test_rrdb_int8_quality(rng):
     span = float(want.max() - want.min()) or 1.0
     psnr = 10 * np.log10(span ** 2 / max(mse, 1e-12))
     assert psnr >= 35.0, f"int8 RRDB PSNR {psnr:.1f} dB"
+
+
+def test_gfpgan_int8_serving_mode(rng):
+    """Dynamic-int8 conv mode (ops/modulated_conv.int8_serving): the full
+    GFPGAN graph runs with int8 convs, finite, and close to the fp
+    output (per-tensor dynamic scales; plumbing correctness + a loose
+    quality bound at random weights)."""
+    import jax
+    import jax.numpy as jnp
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.ops.modulated_conv import int8_serving
+
+    cfg = dict(type="GFPGANv1OCR", input_width=32, input_height=32,
+               num_style_feat=16, channel_multiplier=0.25, num_mlp=2,
+               input_is_latent=True, different_w=True, narrow=0.5,
+               sft_half=True)
+    net = build_network(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+                    * 0.3)
+    variables = net.init(jax.random.PRNGKey(0), x, randomize_noise=False)
+
+    want = np.asarray(jax.jit(lambda v, t: net.apply(
+        v, t, randomize_noise=False)[0])(variables, x))
+    with int8_serving():
+        got = np.asarray(jax.jit(lambda v, t: net.apply(
+            v, t, randomize_noise=False)[0])(variables, x))
+    assert np.all(np.isfinite(got))
+    mse = float(np.mean((got - want) ** 2))
+    span = float(want.max() - want.min()) or 1.0
+    psnr = 10 * np.log10(span ** 2 / max(mse, 1e-12))
+    assert psnr >= 25.0, f"int8 GFPGAN PSNR {psnr:.1f} dB"

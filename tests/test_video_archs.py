@@ -157,6 +157,7 @@ def test_ridnet_parity(rng):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # 101s; scan-vs-unrolled self-consistency
 def test_basicvsr_scan_matches_unrolled_reference():
     """The nn.scan'd recurrence must equal the step-by-step python unroll
     (same params, same flow padding semantics)."""
