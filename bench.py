@@ -38,6 +38,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:
+    # persistent compile cache: the axon remote compiler runs ~minutes per
+    # program some sessions; identical graphs (reruns, the driver's bench
+    # invocations) then load from disk instead
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 from image_restoration_tpu.archs import build_network
 
 ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs",

@@ -54,6 +54,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache (see bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 ASSETS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "assets")
 ITERS = 8
@@ -401,10 +407,15 @@ def convergence(model_kind="sr", total_iters=300, chunk=25, bs=8,
     degrade = model.degrade_fn
     net = model.net_g
 
+    is_gfpgan = model_kind == "gfpgan"
+
     @jax.jit
     def val_psnr(params):
         lq, gt = degrade(jax.random.PRNGKey(123), jnp.asarray(val_np))
-        out = net.apply({"params": params}, lq)
+        if is_gfpgan:
+            out = net.apply({"params": params}, lq, randomize_noise=False)
+        else:
+            out = net.apply({"params": params}, lq)
         if isinstance(out, tuple):
             out = out[0]
         out = jnp.clip(out.astype(jnp.float32), *min_max)
