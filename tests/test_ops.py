@@ -273,3 +273,21 @@ def test_roi_align_matches_scalar_reference(rng):
         lambda i, b: roi_align(i, b, S))(img, boxes))
     want = np.stack([_np_roi_align(img[i], boxes[i], S) for i in range(N)])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_im2col_pallas_matches_xla(rng):
+    """Pallas im2col conv (full-K contraction) vs lax.conv, all widened
+    stage channel shapes at a tiny spatial size (interpret mode)."""
+    from image_restoration_tpu.ops.pallas.im2col_conv import conv3x3_im2col
+    for cin, cout, bh in [(64, 192, 4), (32, 160, 8), (32, 64, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, 18, 26, cin)),
+                        jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_im2col(x, w, bh=bh, out_dtype=jnp.float32,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
