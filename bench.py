@@ -152,6 +152,16 @@ def echo_artifacts():
             f"{e['fused_bs2_restore']} ms/img fused-bs2, "
             f"{e['batched_n8']} ms/img batched-n8 "
             f"[measured {d['date']}, host+on-chip split]")
+    gq = os.path.join(ASSETS, "gfpgan_ptq.json")
+    if os.path.isfile(gq):
+        d = json.load(open(gq))
+        for row in d.get("rows", []):
+            if row.get("bs") == 32 and "bf16" in row and "dyn-int8" in row:
+                log(f"GFPGAN 256² serving bs=32: bf16 "
+                    f"{row['bf16']['imgs_per_sec']} imgs/s vs dyn-int8 "
+                    f"{row['dyn-int8']['imgs_per_sec']} imgs/s "
+                    f"({d['quality_db_vs_f32']} dB gate) "
+                    f"[measured {d['date']}]")
     rl = os.path.join(ASSETS, "rrdb_ladder.json")
     if os.path.isfile(rl):
         d = json.load(open(rl))
