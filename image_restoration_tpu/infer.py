@@ -36,7 +36,13 @@ class Restorer:
     def __init__(self, network_opt: dict, ckpt_path: Optional[str] = None,
                  param_key: str = "params_ema", dtype=None,
                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
-                 out_min_max=(-1, 1)):
+                 out_min_max=(-1, 1), quant: Optional[str] = None):
+        """quant="dyn-int8" traces every conv in dynamic-int8 serving mode
+        (ops/modulated_conv.int8_serving): per-out-channel int8 weights,
+        on-the-fly per-tensor activation scales. Measured on the
+        production 256² generator: +42% over bf16 at batch 32 under a
+        44.1 dB quality gate, slower below bs≈32 — use it with
+        `restore_batch` (docs/PERFORMANCE.md "GFPGAN serving PTQ")."""
         opt = dict(network_opt)
         if dtype is not None:
             opt["dtype"] = dtype
@@ -57,13 +63,35 @@ class Restorer:
             self.variables = import_network(self.arch, self.net,
                                             self.variables, sd)
 
+        if quant not in (None, "dyn-int8"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        self.quant = quant
+
         def fwd(params, x):
-            out = self.net.apply({"params": params}, x)
+            if quant == "dyn-int8":
+                from .ops import modulated_conv
+                with modulated_conv.int8_serving():
+                    out = self.net.apply({"params": params}, x)
+            else:
+                out = self.net.apply({"params": params}, x)
             if isinstance(out, tuple):
                 out = out[0]
             return out
 
         self._fwd = jax.jit(fwd)
+
+    def restore_batch(self, imgs: np.ndarray) -> np.ndarray:
+        """Batched restore: (N,H,W,3) RGB float [0,1] → (N,H',W',3) BGR
+        uint8. The batch path is where quant="dyn-int8" pays (bs≥32)."""
+        x = jnp.asarray((imgs - self.mean) / self.std)
+        if self.input_size[0] is not None and (
+                x.shape[1] != self.input_size[0]
+                or x.shape[2] != self.input_size[1]):
+            x = jresize(x, self.input_size, "bilinear")
+        out = self._fwd(self.variables["params"], x)
+        return np.stack([tensor2img(out[i:i + 1],
+                                    min_max=self.out_min_max)
+                         for i in range(out.shape[0])])
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """HWC RGB float [0,1] → HWC BGR uint8 restored (matching reference

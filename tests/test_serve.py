@@ -98,3 +98,20 @@ def test_http_server_roundtrip(pipeline, rng):
             assert json.loads(e.read())["is_success"] is False
     finally:
         server.shutdown()
+
+
+def test_restorer_dyn_int8_quant(rng):
+    """quant="dyn-int8" Restorer: batch path works and tracks the f32
+    output at random init (dynamic per-tensor scales; loose gate — the
+    44.1 dB production figure is measured at real weights on chip)."""
+    base = Restorer(TINY_GFPGAN)
+    quant = Restorer(TINY_GFPGAN, quant="dyn-int8")
+    quant.variables = base.variables  # same random weights
+    imgs = rng.random((4, 64, 64, 3)).astype(np.float32)
+    want = base.restore_batch(imgs)
+    got = quant.restore_batch(imgs)
+    assert got.shape == want.shape == (4, 64, 64, 3)
+    assert got.dtype == np.uint8
+    # uint8 outputs: mean abs difference stays small
+    d = np.abs(got.astype(np.float32) - want.astype(np.float32)).mean()
+    assert d < 8.0, f"dyn-int8 diverged: mean|d|={d}"
