@@ -258,7 +258,10 @@ def main():
     print(json.dumps(result), flush=True)
 
     # ---- diagnostics (after the headline JSON: a timeout here must not
-    # lose the result)
+    # lose the result). The artifact echo is pure file reads — do it
+    # first so it can't be lost to a compile-heavy diagnostic timing out.
+    echo_artifacts()
+
     try:
         # halo sensitivity: tiled bf16 vs full-image bf16 — PURE tiling
         # error, same dtype on both sides (quantization noise measured
@@ -293,8 +296,6 @@ def main():
             f"{1e3 / ms:.1f} tiles/s")
     except Exception as e:  # diagnostics must not break the headline
         log(f"RRDBNet diag failed: {e}")
-
-    echo_artifacts()
 
     try:
         gfp = build_network(dict(type="GFPGANv1OCR", input_width=256,
