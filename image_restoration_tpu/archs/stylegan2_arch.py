@@ -35,6 +35,9 @@ from ..utils.registry import ARCH_REGISTRY
 from ..ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from ..ops.modulated_conv import modulated_conv2d, conv2d
 from ..ops.upfirdn import upfirdn_upsample, upfirdn_smooth
+from ..ops import fused_resample
+from ..ops.fused_resample import conv_down_fir
+from ..ops.modulated_conv import fused_valid_conv
 
 Dtype = Any
 
@@ -131,16 +134,24 @@ class ConvLayer(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel_size
-        if self.downsample:
-            x = upfirdn_smooth(x, jnp.asarray(self.resample_kernel, jnp.float32),
-                               downsample_factor=2, kernel_size=k)
-            stride, padding = 2, 0
-        else:
-            stride, padding = 1, k // 2
         weight = self.param("weight", jax.nn.initializers.normal(1.0),
                             (k, k, in_ch, self.out_channels))
         scale = 1.0 / math.sqrt(in_ch * k * k)
-        out = conv2d(x, weight * scale, stride=stride, padding=padding)
+        if self.downsample:
+            if fused_resample.FUSE_DOWN:
+                # FIR folded into a single space_to_depth conv (exact;
+                # ops/fused_resample.py) — one HBM pass instead of two
+                out = conv_down_fir(x, weight * scale,
+                                    tuple(self.resample_kernel),
+                                    conv_fn=fused_valid_conv)
+            else:
+                x = upfirdn_smooth(x,
+                                   jnp.asarray(self.resample_kernel,
+                                               jnp.float32),
+                                   downsample_factor=2, kernel_size=k)
+                out = conv2d(x, weight * scale, stride=2, padding=0)
+        else:
+            out = conv2d(x, weight * scale, stride=1, padding=k // 2)
         if self.activate:
             if self.use_bias:
                 act_bias = self.param("act_bias", nn.initializers.zeros,

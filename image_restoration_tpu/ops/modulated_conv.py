@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from .upfirdn import upfirdn_smooth
+from . import fused_resample
+from .fused_resample import conv_up_fir, conv_down_fir
 
 # ---- dynamic-int8 serving mode (GFPGAN PTQ study, docs/PERFORMANCE.md).
 # When enabled, every conv routed through this module (EqualConv2d,
@@ -76,6 +78,16 @@ def _int8_conv(x, w_hwio, stride, padding, lhs_dilation=None,
         preferred_element_type=jnp.int32)
     deq = (sx * sw).astype(jnp.bfloat16)
     return (acc.astype(jnp.bfloat16) * deq).astype(out_dtype or x.dtype)
+
+
+def fused_valid_conv(xp: jax.Array, wc: jax.Array) -> jax.Array:
+    """Inner dense conv for the fused-resample paths: VALID, stride 1,
+    honoring the dynamic-int8 serving mode (trace-time dispatch)."""
+    if _INT8_SERVING:
+        return _int8_conv(xp, wc, 1, ((0, 0), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, wc.astype(xp.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv2d(x: jax.Array, w_hwio: jax.Array, stride: int = 1,
@@ -137,13 +149,23 @@ def modulated_conv2d(x: jax.Array, weight: jax.Array, style: jax.Array,
 
     xs = x * style[:, None, None, :].astype(x.dtype)
     if sample_mode == "upsample":
-        out = conv_transpose2d(xs, weight, stride=2)
-        out = upfirdn_smooth(out, smooth_kernel, upsample_factor=2,
-                             kernel_size=kh)
+        if fused_resample.FUSE_UP:
+            # single subpixel conv with the FIR folded into the weights
+            # (exact; see ops/fused_resample.py)
+            out = conv_up_fir(xs, weight, smooth_kernel,
+                              conv_fn=fused_valid_conv)
+        else:
+            out = conv_transpose2d(xs, weight, stride=2)
+            out = upfirdn_smooth(out, smooth_kernel, upsample_factor=2,
+                                 kernel_size=kh)
     elif sample_mode == "downsample":
-        xs = upfirdn_smooth(xs, smooth_kernel, downsample_factor=2,
-                            kernel_size=kh)
-        out = conv2d(xs, weight, stride=2, padding=0)
+        if fused_resample.FUSE_DOWN:
+            out = conv_down_fir(xs, weight, smooth_kernel,
+                                conv_fn=fused_valid_conv)
+        else:
+            xs = upfirdn_smooth(xs, smooth_kernel, downsample_factor=2,
+                                kernel_size=kh)
+            out = conv2d(xs, weight, stride=2, padding=0)
     else:
         out = conv2d(xs, weight, stride=1, padding=kh // 2)
 

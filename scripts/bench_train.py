@@ -53,6 +53,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import optax
 
 try:  # persistent compile cache (see bench.py)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -300,7 +301,7 @@ def analytic_gfpgan_flops(bs, hw=256):
 # ------------------------------------------------------------------ main
 
 def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
-                iters=ITERS, pool_mult=2):
+                iters=ITERS, pool_mult=2, remat=False):
     dt = {"bf16": jnp.bfloat16, "f32": None}[dtype]
     rng_np = np.random.default_rng(0)
     results = {"meta": {
@@ -314,7 +315,7 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
     if mode in ("both", "gfpgan"):
         rows = []
         for bs in batch_sizes:
-            model = build_gfpgan_trainer(bs, dtype=dt)
+            model = build_gfpgan_trainer(bs, dtype=dt, remat=remat)
             run = gfpgan_scan_loop(model, iters)
             pool = jnp.asarray(real_crops(256, bs * pool_mult, rng_np),
                                jnp.float32)
@@ -331,11 +332,15 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
             if fl is None:
                 fl, src = analytic_gfpgan_flops(bs), "est"
             tf = fl / sec / 1e12
-            rows.append({"bs": bs, "ms_per_step": round(sec * 1e3, 2),
-                         "steps_per_sec": round(1.0 / sec, 2),
-                         "imgs_per_sec": round(bs / sec, 1),
-                         "tflops": round(tf, 1), "flops_source": src})
-            log(f"GFPGAN GAN step bs={bs}: {sec * 1e3:.1f} ms/step = "
+            row = {"bs": bs, "ms_per_step": round(sec * 1e3, 2),
+                   "steps_per_sec": round(1.0 / sec, 2),
+                   "imgs_per_sec": round(bs / sec, 1),
+                   "tflops": round(tf, 1), "flops_source": src}
+            if remat:
+                row["remat"] = True
+            rows.append(row)
+            log(f"GFPGAN GAN step bs={bs}{' remat' if remat else ''}: "
+                f"{sec * 1e3:.1f} ms/step = "
                 f"{1 / sec:.2f} steps/s ({bs / sec:.1f} imgs/s, "
                 f"{tf:.0f} TFLOP/s {src})")
             del model
@@ -380,10 +385,172 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
 
     os.makedirs(ASSETS, exist_ok=True)
     out = os.path.join(ASSETS, "train_bench.json")
+    if os.path.isfile(out):  # merge: keep rows for batch sizes not re-run
+        old = json.load(open(out))
+        for key in ("gfpgan_gan_step", "sr_l1_step"):
+            if key in old and key in results:
+                k = lambda r: (r["bs"], r.get("remat", False))
+                seen = {k(r) for r in results[key]["rows"]}
+                results[key]["rows"] += [r for r in old[key]["rows"]
+                                         if k(r) not in seen]
+                results[key]["rows"].sort(key=k)
+            elif key in old:
+                results[key] = old[key]
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     log(f"wrote {out}")
     return results
+
+
+def _onchip_scan_ms(body, carry0, iters=ITERS, repeats=REPEATS):
+    """ms per body() call, timed as one on-chip jit(scan) (see module doc:
+    the axon dispatch latency must never enter). body(carry, i) -> carry;
+    the returned carry must data-depend on the work or XLA deletes it."""
+    @jax.jit
+    def loop(carry):
+        return jax.lax.scan(lambda c, i: (body(c, i), None), carry,
+                            jnp.arange(iters))[0]
+
+    out = loop(carry0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(carry0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
+def breakdown(bs=16, dtype="bf16", iters=ITERS):
+    """Where does the GFPGAN GAN-step time go? On-chip per-component scan
+    timings at one batch size. Components overlap deliberately (e.g.
+    g_update contains g_fwd), so read the table as a containment ladder,
+    not a partition; `full - full_noperc` isolates the VGG perceptual+style
+    cost the same way the reference pays it (basicsr/losses/losses.py:250-356).
+    """
+    import gc
+    dt = {"bf16": jnp.bfloat16, "f32": None}[dtype]
+    rng_np = np.random.default_rng(0)
+    pool = jnp.asarray(real_crops(256, bs * 2, rng_np), jnp.float32)
+    rows = {}
+
+    model = build_gfpgan_trainer(bs, dtype=dt)
+    degrade = model.degrade_fn
+    net_g, net_d = model.net_g, model.net_d
+    state = model.state
+    tx_g, tx_d = model.tx_g, model.tx_d
+    key0 = jax.random.PRNGKey(0)
+    lq0, gt0 = jax.jit(degrade)(key0, pool[:bs])
+    lq0 = jax.block_until_ready(lq0)
+
+    def measure(name, fn):
+        # each component isolated: an OOM/compile failure records and moves
+        # on, and caches are dropped so executables don't accumulate HBM
+        try:
+            rows[name] = fn()
+            log(f"  {name:16s} {rows[name]:8.2f} ms/step")
+        except Exception as e:
+            log(f"  {name} failed: {type(e).__name__}: {e}")
+        gc.collect()
+        jax.clear_caches()
+
+    # 1. full production step (reference row)
+    def m_full():
+        run = gfpgan_scan_loop(model, iters)
+        sec, _ = time_loop(run, state, pool, key0, bs, iters)
+        return sec * 1e3
+    measure("full", m_full)
+
+    # 2. full production step without the perceptual term (same weights:
+    # the step fn only reads param structure, which is identical)
+    def m_noperc():
+        m2 = build_gfpgan_trainer(bs, dtype=dt, perceptual=False)
+        m2.state = None  # free its duplicate device state; we time `state`
+        gc.collect()
+        run_np = gfpgan_scan_loop(m2, iters)
+        sec, _ = time_loop(run_np, state, pool, key0, bs, iters)
+        return sec * 1e3
+    measure("full_noperc", m_noperc)
+
+    # 3. degradation synthesis alone (fresh kernels/noise/JPEG per iter)
+    def m_degrade():
+        def body(c, i):
+            lq, _ = degrade(jax.random.fold_in(key0, i), pool[:bs] + c)
+            return jnp.mean(lq) * 1e-6
+        return _onchip_scan_ms(body, jnp.float32(0.0), iters)
+    measure("degrade", m_degrade)
+
+    # 4. G forward alone (production generator, noise rng per iter)
+    def m_gfwd():
+        def body(c, i):
+            out, _ = net_g.apply({"params": state["params_g"]}, lq0 + c,
+                                 return_rgb=True,
+                                 rngs={"noise": jax.random.fold_in(key0, i)})
+            return jnp.mean(out) * 1e-6
+        return _onchip_scan_ms(body, jnp.float32(0.0), iters)
+    measure("g_fwd", m_gfwd)
+
+    # 5. G update with pixel loss only: fwd + bwd + Adam + EMA
+    def m_gup():
+        def body(c, i):
+            pg, og, eg = c
+            def loss(p):
+                out, _ = net_g.apply(
+                    {"params": p}, lq0, return_rgb=True,
+                    rngs={"noise": jax.random.fold_in(key0, i)})
+                return jnp.mean(jnp.abs(out - gt0))
+            grads = jax.grad(loss)(pg)
+            upd, og = tx_g.update(grads, og, pg)
+            pg = optax.apply_updates(pg, upd)
+            eg = model.ema_update(eg, pg, model.ema_decay)
+            return (pg, og, eg)
+        return _onchip_scan_ms(
+            body, (state["params_g"], state["opt_g"], state["ema_g"]), iters)
+    measure("g_update_pix", m_gup)
+
+    # 6. D logistic update alone (real+fake fwd+bwd+Adam)
+    def m_dup():
+        fake0 = jnp.clip(gt0 + 0.01, -1, 1)
+        def body(c, i):
+            pd, od = c
+            def loss(p):
+                return (model.cri_gan(net_d.apply({"params": p}, gt0),
+                                      True, is_disc=True) +
+                        model.cri_gan(net_d.apply({"params": p}, fake0),
+                                      False, is_disc=True))
+            grads = jax.grad(loss)(pd)
+            upd, od = tx_d.update(grads, od, pd)
+            return (optax.apply_updates(pd, upd), od)
+        return _onchip_scan_ms(
+            body, (state["params_d"], state["opt_d"]), iters)
+    measure("d_update", m_dup)
+
+    # 7. perceptual+style loss alone: VGG19 two-stream fwd + bwd wrt output
+    if model.cri_perceptual is not None:
+        def m_perc():
+            def body(c, i):
+                def loss(x):
+                    lp, ls = model.cri_perceptual(x, gt0)
+                    t = 0.0
+                    if lp is not None:
+                        t += lp
+                    if ls is not None:
+                        t += ls
+                    return t
+                g = jax.grad(loss)(gt0 + c)
+                return jnp.mean(g) * 1e-6
+            return _onchip_scan_ms(body, jnp.float32(0.0), iters)
+        measure("perceptual_grad", m_perc)
+
+    out = {"bs": bs, "dtype": dtype,
+           "rows": {k: round(v, 2) for k, v in rows.items()},
+           "date": time.strftime("%Y-%m-%d"),
+           "note": "containment ladder, not a partition; full-full_noperc "
+                   "= VGG perceptual+style cost"}
+    os.makedirs(ASSETS, exist_ok=True)
+    with open(os.path.join(ASSETS, "train_breakdown.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
 
 
 def convergence(model_kind="sr", total_iters=300, chunk=25, bs=8,
@@ -484,6 +651,9 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--convergence", action="store_true")
+    ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--breakdown-bs", type=int, default=16)
+    ap.add_argument("--remat", action="store_true")
     ap.add_argument("--conv-model", default="sr",
                     choices=["sr", "gfpgan"])
     ap.add_argument("--conv-iters", type=int, default=300)
@@ -491,9 +661,11 @@ if __name__ == "__main__":
     ap.add_argument("--conv-dtype", default="f32",
                     choices=["bf16", "f32"])
     args = ap.parse_args()
-    if args.convergence:
+    if args.breakdown:
+        breakdown(args.breakdown_bs, args.dtype, args.iters)
+    elif args.convergence:
         convergence(args.conv_model, args.conv_iters, bs=args.conv_bs,
                     dtype=args.conv_dtype)
     else:
         bench_steps(tuple(int(b) for b in args.batch_sizes.split(",")),
-                    args.mode, args.dtype, args.iters)
+                    args.mode, args.dtype, args.iters, remat=args.remat)
