@@ -108,6 +108,8 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
             "vgg_type": "vgg19", "use_input_norm": True,
             "perceptual_weight": 1.0, "style_weight": 50,
             "range_norm": True, "criterion": "l1"}
+        if dtype is not None:  # bf16 trainer -> bf16 VGG taps (f32 loss)
+            train["perceptual_opt"]["compute_dtype"] = "bf16"
     opt = {
         "is_train": True, "manual_seed": 0, "num_devices": 1, "scale": 1,
         "path": {"models": "/tmp/bench_train/models",
