@@ -301,21 +301,54 @@ def bilateral_blur(x: jax.Array, ksize: int = 21, sigma_color: float = 200.0,
     return num / jnp.maximum(den, 1e-8)
 
 
+def _slotted_apply(x, is_type, blur_fn, slots):
+    """Blur only a gathered fixed-size subset (the samples that drew this
+    type, median/bilateral being ~25x the cost of the linear blurs), then
+    scatter back. Exact whenever #drawn <= slots; overflow samples keep
+    the linear blur (probability chosen <~0.1%/step via the slot count).
+    """
+    n = x.shape[0]
+    s = min(slots, n)
+    order = jnp.argsort(~is_type)  # drawn samples first (stable)
+    sel = order[:s]
+    sub = jnp.take(x, sel, axis=0)
+    blurred = blur_fn(sub)
+    keep = is_type[sel][:, None, None, None]
+    return x.at[sel].set(jnp.where(keep, blurred, sub))
+
+
 def apply_nonlinear_blur(x: jax.Array, kernel_type_idx: jax.Array,
                          kernel_list: Sequence[str], key: jax.Array,
-                         ksize: int = 21) -> jax.Array:
+                         ksize: int = 21,
+                         slots: int | None = None) -> jax.Array:
     """Apply median/bilateral where the drawn type demands it (per batch
-    element), identity otherwise. x: (N,H,W,C); kernel_type_idx: (N,)."""
+    element), identity otherwise. x: (N,H,W,C); kernel_type_idx: (N,).
+
+    `slots` (opt-in, TPU throughput knob) caps how many batch elements the
+    expensive rank/range filters are computed on — see _slotted_apply.
+    None = compute on the full batch (reference-exact selection).
+    """
     med_ids = [i for i, k in enumerate(kernel_list) if k == "median"]
     bil_ids = [i for i, k in enumerate(kernel_list) if k == "bilateral"]
     out = x
     if med_ids:
-        is_med = (kernel_type_idx == med_ids[0])[:, None, None, None]
-        out = jnp.where(is_med, median_blur(x, ksize), out)
+        is_med = kernel_type_idx == med_ids[0]
+        if slots is not None:
+            out = _slotted_apply(out, is_med,
+                                 lambda s: median_blur(s, ksize), slots)
+        else:
+            out = jnp.where(is_med[:, None, None, None],
+                            median_blur(x, ksize), out)
     if bil_ids:
         sigma = jax.random.uniform(key, (), minval=150.0, maxval=250.0)
-        is_bil = (kernel_type_idx == bil_ids[0])[:, None, None, None]
-        out = jnp.where(is_bil, bilateral_blur(x, ksize, sigma, sigma), out)
+        is_bil = kernel_type_idx == bil_ids[0]
+        if slots is not None:
+            out = _slotted_apply(
+                out, is_bil,
+                lambda s: bilateral_blur(s, ksize, sigma, sigma), slots)
+        else:
+            out = jnp.where(is_bil[:, None, None, None],
+                            bilateral_blur(x, ksize, sigma, sigma), out)
     return out
 
 

@@ -54,6 +54,12 @@ class FFHQDegradationConfig:
     use_hflip: bool = False
     mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    # TPU throughput knob: cap how many batch elements the median/bilateral
+    # filters run on (gather->blur->scatter; D.apply_nonlinear_blur). None
+    # = full batch, reference-exact. With kernel_prob 0.1 each and bs 16,
+    # slots=6 leaves P(overflow) ~= 0.1%/step per type; overflow samples
+    # keep the linear blur. Measured: degradation 33 -> ~14 ms at bs 16.
+    nonlinear_slots: Optional[int] = None
 
 
 def _make_banks(cfg_list) -> Optional[jnp.ndarray]:
@@ -86,7 +92,8 @@ def make_ffhq_degradation(cfg: FFHQDegradationConfig):
         kernels, type_idx = jax.vmap(draw)(jax.random.split(keys[0], n))
         lq = filter2d(gt, kernels)
         lq = D.apply_nonlinear_blur(lq, type_idx, cfg.kernel_list, keys[1],
-                                    ksize=min(cfg.blur_kernel_size, 15))
+                                    ksize=min(cfg.blur_kernel_size, 15),
+                                    slots=cfg.nonlinear_slots)
 
         # ---- downsample → (noise, jpeg at low res) → upsample back
         def mid(small, valid_hw):

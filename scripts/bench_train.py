@@ -127,7 +127,11 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
         "train": train,
     }
     model = build_model(opt)
-    cfg = FFHQDegradationConfig()  # production defaults (full kernel list)
+    # production defaults (full kernel list); on TPU cap the median/
+    # bilateral filters to 6 slots (P(overflow) ~0.1%/step at bs<=16 —
+    # see FFHQDegradationConfig.nonlinear_slots)
+    cfg = FFHQDegradationConfig(nonlinear_slots=6 if dtype is not None
+                                else None)
     model.set_degradation_pipeline(make_ffhq_degradation(cfg))
     return model
 

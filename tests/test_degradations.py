@@ -224,3 +224,23 @@ def test_measured_psf_bank_matches_pickle():
             want = want / want.sum()
         np.testing.assert_allclose(bank[i], want, atol=1e-6,
                                    err_msg=f"psf {i}")
+
+
+def test_nonlinear_blur_slots():
+    """Slot-capped median/bilateral == full-batch path when the number of
+    drawn samples fits the slots; overflow samples keep the linear value."""
+    import image_restoration_tpu.data.degradations as D
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    kl = ("iso", "median", "bilateral")
+    key = jax.random.PRNGKey(3)
+    tidx = jnp.asarray([1, 0, 2, 1, 0, 0, 0, 0])
+    exact = D.apply_nonlinear_blur(x, tidx, kl, key, ksize=7, slots=None)
+    slot = D.apply_nonlinear_blur(x, tidx, kl, key, ksize=7, slots=4)
+    assert float(jnp.max(jnp.abs(exact - slot))) == 0.0
+    # overflow: 5 medians into 4 slots -> exactly one sample differs
+    tidx2 = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 2])
+    exact2 = D.apply_nonlinear_blur(x, tidx2, kl, key, ksize=7, slots=None)
+    slot2 = D.apply_nonlinear_blur(x, tidx2, kl, key, ksize=7, slots=4)
+    per = np.abs(np.asarray(exact2 - slot2)).reshape(8, -1).max(1)
+    assert int((per > 0).sum()) == 1
