@@ -134,6 +134,14 @@ def echo_artifacts():
                     + (f", {best['tflops']} TFLOP/s ({best.get('flops_source')})"
                        if "tflops" in best else "")
                     + f" [measured {d['meta']['date']}, on-chip scan]")
+        det = (d.get("detector_step") or {}).get("rows") or []
+        if det:
+            ref_bs = next((r for r in det if r["bs"] == 24), det[0])
+            best = max(det, key=lambda r: r["imgs_per_sec"])
+            log(f"TRAIN detector step (RetinaFace-R18 224²): "
+                f"{ref_bs['imgs_per_sec']} imgs/s at the reference bs=24 "
+                f"budget, {best['imgs_per_sec']} at bs={best['bs']} "
+                f"[measured {d['detector_step']['date']}]")
     for kind in ("sr", "gfpgan"):
         cv = os.path.join(ASSETS, f"train_convergence_{kind}.json")
         if os.path.isfile(cv):

@@ -559,6 +559,65 @@ def breakdown(bs=16, dtype="bf16", iters=ITERS):
     return out
 
 
+def bench_detector(batch_sizes=(24, 48, 96), iters=ITERS):
+    """RetinaFace-ResNet18 train step at the reference's budget envelope
+    (bs=24, SGD — Plate_Detect/.../data/config.py:43-60), on-chip scan."""
+    from image_restoration_tpu.detect.train import DetectorTrainer
+    tr = DetectorTrainer(backbone="Resnet18", image_size=224,
+                         decay_steps=(), total_steps=10000)
+    step = tr._train_step
+    rng = np.random.default_rng(0)
+    rows = []
+    for bs in batch_sizes:
+        imgs = jnp.asarray(rng.standard_normal((bs, 224, 224, 3)) * 20.0,
+                           jnp.float32)
+        # synthetic padded targets (M=16): one valid box + landmarks/sample
+        t = np.zeros((bs, 16, 15), np.float32)
+        t[:, 0, :4] = [0.3, 0.3, 0.6, 0.5]
+        t[:, 0, 4:14] = rng.uniform(0.3, 0.6, (bs, 10))
+        t[:, 0, 14] = 1.0
+        targets = jnp.asarray(t)
+
+        @jax.jit
+        def loop(state, imgs, targets):
+            def body(c, i):
+                s, _ = c
+                s, losses = step(s, imgs +
+                                 (i.astype(jnp.float32) * 1e-6), targets)
+                return (s, losses["loss"].astype(jnp.float32)), None
+            (s, last), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                        jnp.arange(iters))
+            return s, last
+
+        try:
+            out = loop(tr.state, imgs, targets)
+            jax.block_until_ready(out[1])
+            assert np.isfinite(float(out[1]))
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                out = loop(tr.state, imgs, targets)
+                _ = float(out[1])
+                best = min(best, (time.perf_counter() - t0) / iters)
+        except Exception as e:
+            log(f"detector bs={bs} failed: {type(e).__name__}: {e}")
+            continue
+        rows.append({"bs": bs, "ms_per_step": round(best * 1e3, 2),
+                     "imgs_per_sec": round(bs / best, 1)})
+        log(f"Detector train step (RetinaFace-R18 224², SGD+BN) bs={bs}: "
+            f"{best * 1e3:.1f} ms/step = {bs / best:.1f} imgs/s")
+    out_path = os.path.join(ASSETS, "train_bench.json")
+    data = json.load(open(out_path)) if os.path.isfile(out_path) else {}
+    data["detector_step"] = {
+        "config": "RetinaFace-Resnet18 224² MultiBoxLoss train step "
+                  "(ref budget bs=24, SGD lr 1e-3)",
+        "rows": rows, "date": time.strftime("%Y-%m-%d")}
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+    log(f"wrote {out_path} (detector_step)")
+    return rows
+
+
 def convergence(model_kind="sr", total_iters=300, chunk=25, bs=8,
                 val_every=None, dtype="f32", seed=0):
     """Few-hundred-iter smoke on REAL image content: loss ↓, val PSNR ↑."""
@@ -660,6 +719,7 @@ if __name__ == "__main__":
     ap.add_argument("--breakdown", action="store_true")
     ap.add_argument("--breakdown-bs", type=int, default=16)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--detector", action="store_true")
     ap.add_argument("--conv-model", default="sr",
                     choices=["sr", "gfpgan"])
     ap.add_argument("--conv-iters", type=int, default=300)
@@ -667,7 +727,11 @@ if __name__ == "__main__":
     ap.add_argument("--conv-dtype", default="f32",
                     choices=["bf16", "f32"])
     args = ap.parse_args()
-    if args.breakdown:
+    if args.detector:
+        bench_detector(tuple(int(b) for b in args.batch_sizes.split(","))
+                       if args.batch_sizes != "4,8,16" else (24, 48, 96),
+                       args.iters)
+    elif args.breakdown:
         breakdown(args.breakdown_bs, args.dtype, args.iters)
     elif args.convergence:
         convergence(args.conv_model, args.conv_iters, bs=args.conv_bs,
