@@ -43,6 +43,8 @@ class Restorer:
         production 256² generator: +42% over bf16 at batch 32 under a
         44.1 dB quality gate, slower below bs≈32 — use it with
         `restore_batch` (docs/PERFORMANCE.md "GFPGAN serving PTQ")."""
+        if quant not in (None, "dyn-int8"):  # fail before the minutes of
+            raise ValueError(f"unknown quant mode {quant!r}")  # build/init
         opt = dict(network_opt)
         if dtype is not None:
             opt["dtype"] = dtype
@@ -63,8 +65,6 @@ class Restorer:
             self.variables = import_network(self.arch, self.net,
                                             self.variables, sd)
 
-        if quant not in (None, "dyn-int8"):
-            raise ValueError(f"unknown quant mode {quant!r}")
         self.quant = quant
 
         def fwd(params, x):
@@ -88,10 +88,12 @@ class Restorer:
                 x.shape[1] != self.input_size[0]
                 or x.shape[2] != self.input_size[1]):
             x = jresize(x, self.input_size, "bilinear")
-        out = self._fwd(self.variables["params"], x)
-        return np.stack([tensor2img(out[i:i + 1],
+        # ONE device->host transfer for the whole batch (each np.asarray
+        # of a device slice is a separate dispatch on the axon tunnel)
+        out_np = np.asarray(self._fwd(self.variables["params"], x))
+        return np.stack([tensor2img(out_np[i:i + 1],
                                     min_max=self.out_min_max)
-                         for i in range(out.shape[0])])
+                         for i in range(out_np.shape[0])])
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """HWC RGB float [0,1] → HWC BGR uint8 restored (matching reference

@@ -110,8 +110,9 @@ def conv_up_fir(x: jax.Array, w_hwio: jax.Array, fir=(1, 3, 3, 1),
     """EXACT fusion of conv_transpose2d(x, w, stride=2) + upfirdn_smooth
     (upsample_factor=2) into one subpixel conv + depth_to_space.
 
-    `conv_fn(x, w4, pad)` may override the inner dense conv (int8 path);
-    default is a plain VALID lax conv after explicit padding.
+    `conv_fn(x_padded, w4)` may override the inner dense conv (stride 1,
+    VALID — padding is already applied; used for the int8 serving path);
+    default is a plain lax conv.
     """
     n, h, w_sp, ci = x.shape
     kh = w_hwio.shape[0]

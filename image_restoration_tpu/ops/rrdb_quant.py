@@ -121,8 +121,10 @@ def quantize_rrdb_params(params: Dict, act_scales: np.ndarray,
             # bias: added once via stage1's epilogue → same per-slice fold
             b = np.asarray(st["b"], np.float32) * fold_vec(0, row)
             sd["b"] = jnp.asarray(b, jnp.bfloat16)
-            # input quantization factor 127/s for [t, c1..c4]
-            sd["rin"] = jnp.asarray(127.0 / row, jnp.bfloat16)
+            # input quantization factor 127/s_t for the block input only:
+            # c1..c4 are already carried at their 127/s_c scale by the
+            # per-slice fold, so only the scalar for t is needed
+            sd["rin_t"] = jnp.asarray(127.0 / row[0], jnp.bfloat16)
             blk[rdb] = sd
         blocks.append(blk)
     q["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
@@ -148,7 +150,7 @@ def _sl(t, widths, idx):
 
 def _quant_rdb(t, sd):
     """t: bf16 (N,H,W,64) → bf16; the int8 widened dense block."""
-    a = _conv_i8(_to_int8(t, sd["rin"][0]), sd["w0"])
+    a = _conv_i8(_to_int8(t, sd["rin_t"]), sd["w0"])
     a = a.astype(jnp.bfloat16) * sd["deq0"] + sd["b"]
     # c1 (scaled by 127/s_c1 already — fold carried it)
     c1 = _lrelu(_sl(a, _WIDTHS[0], 0))

@@ -75,8 +75,12 @@ def main(modes=None, bss=(1, 4)):
                "tiles_per_sec": round(tps, 2)}
         if extra:
             row.update(extra)
+        # dedup on the mode name STEM so a drifting quality-gate suffix
+        # ("widened-int8 (gate 54.0 dB)") cannot leave a stale twin row
+        stem = name.split(" (")[0]
         rows[:] = [r for r in rows
-                   if not (r["mode"] == name and r["bs"] == bs)]
+                   if not (r["mode"].split(" (")[0] == stem
+                           and r["bs"] == bs)]
         rows.append(row)
         flush()
         log(f"RRDB-23 x4 {SIZE}² {name} bs={bs}: {ms:.1f} ms → "

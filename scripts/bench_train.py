@@ -63,7 +63,10 @@ except Exception:
 
 ASSETS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "assets")
-ITERS = 8
+# 16 iters per timed scan = exactly one R1 step per window (every
+# timed window starts from the same state with iter=0, where R1 fires),
+# so the measured amortization matches the production 1/net_d_reg_every
+ITERS = 16
 REPEATS = 3
 
 
@@ -175,20 +178,24 @@ def gfpgan_scan_loop(model, iters=ITERS):
     pyr_w = jnp.float32(model.pyramid_loss_weight)
     reg_every = model.net_d_reg_every
 
-    @jax.jit
-    def loop(state, pool, rng):
+    @partial(jax.jit, static_argnames=("bs",))
+    def loop(state, pool, rng, bs):
         def body(carry, i):
             state = carry
             step_rng = jax.random.fold_in(rng, i)
             # rotate through the gt pool so every iter sees fresh images
             n_pool = pool.shape[0]
-            b = loop_bs
-            start = (i * b) % n_pool
-            gt = jax.lax.dynamic_slice_in_dim(pool, start, b, axis=0)
+            start = (i * bs) % n_pool
+            gt = jax.lax.dynamic_slice_in_dim(pool, start, bs, axis=0)
+            # the GLOBAL iteration counter (state['iter'], carried across
+            # scan chunks) drives the R1 cadence, matching the production
+            # every-`net_d_reg_every`-iters schedule exactly — a scan-
+            # local `i % reg_every` would fire once per chunk instead
+            it = state["iter"]
             state, losses, gt_n = gd(state, {"gt": gt}, step_rng, pyr_w,
                                      update_g=True)
             state, l_r1 = jax.lax.cond(
-                i % reg_every == 0,
+                it % reg_every == 0,
                 lambda s: r1(s, gt_n),
                 lambda s: (s, jnp.float32(0.0)), state)
             out = (losses["l_g_pix"].astype(jnp.float32),
@@ -198,12 +205,8 @@ def gfpgan_scan_loop(model, iters=ITERS):
         state, (l_pix, l_d) = jax.lax.scan(body, state, jnp.arange(iters))
         return state, l_pix, l_d
 
-    loop_bs = None  # bound at call time via closure injection
-
     def run(state, pool, rng, bs):
-        nonlocal loop_bs
-        loop_bs = bs
-        return loop(state, pool, rng)
+        return loop(state, pool, rng, bs=bs)
 
     run.jit_loop = loop
     return run
@@ -212,16 +215,14 @@ def gfpgan_scan_loop(model, iters=ITERS):
 def sr_scan_loop(model, iters=ITERS):
     step = model._build_train_step()
 
-    loop_bs = None
-
-    @jax.jit
-    def loop(state, pool, rng):
+    @partial(jax.jit, static_argnames=("bs",))
+    def loop(state, pool, rng, bs):
         def body(carry, i):
             state = carry
             step_rng = jax.random.fold_in(rng, i)
             n_pool = pool.shape[0]
-            start = (i * loop_bs) % n_pool
-            gt = jax.lax.dynamic_slice_in_dim(pool, start, loop_bs, axis=0)
+            start = (i * bs) % n_pool
+            gt = jax.lax.dynamic_slice_in_dim(pool, start, bs, axis=0)
             state, losses = step(state, {"gt": gt}, step_rng)
             return state, losses["l_pix"].astype(jnp.float32)
 
@@ -229,9 +230,7 @@ def sr_scan_loop(model, iters=ITERS):
         return state, l_pix
 
     def run(state, pool, rng, bs):
-        nonlocal loop_bs
-        loop_bs = bs
-        return loop(state, pool, rng)
+        return loop(state, pool, rng, bs=bs)
 
     run.jit_loop = loop
     return run
@@ -279,10 +278,11 @@ def real_crops(size, n, rng, paths=None):
 
 # ------------------------------------------------------------ cost model
 
-def compiled_step_flops(run, state, pool, rng, iters):
+def compiled_step_flops(run, state, pool, rng, iters, bs):
     """FLOPs per train step from XLA's compiled cost analysis (or None)."""
     try:
-        ca = run.jit_loop.lower(state, pool, rng).compile().cost_analysis()
+        ca = run.jit_loop.lower(state, pool, rng,
+                                bs=bs).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         return float(ca["flops"]) / iters
@@ -333,7 +333,7 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
                 log(f"GFPGAN bs={bs} failed: {type(e).__name__}: {e}")
                 continue
             fl = compiled_step_flops(run, model.state, pool,
-                                     jax.random.PRNGKey(0), iters)
+                                     jax.random.PRNGKey(0), iters, bs)
             src = "xla"
             if fl is None:
                 fl, src = analytic_gfpgan_flops(bs), "est"
@@ -370,7 +370,7 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
                 log(f"SRModel bs={bs} failed: {type(e).__name__}: {e}")
                 continue
             fl = compiled_step_flops(run, model.state, pool,
-                                     jax.random.PRNGKey(0), iters)
+                                     jax.random.PRNGKey(0), iters, bs)
             row = {"bs": bs, "ms_per_step": round(sec * 1e3, 2),
                    "steps_per_sec": round(1.0 / sec, 2),
                    "imgs_per_sec": round(bs / sec, 1)}

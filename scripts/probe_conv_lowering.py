@@ -42,7 +42,6 @@ def conv_concat3(w, x):
     ww = wp - 2
     xc = jnp.concatenate([x[:, :, dx:dx + ww, :] for dx in range(3)],
                          axis=-1)
-    wc = jnp.concatenate([w[:, dx] for dx in range(3)], axis=1)[:, None]
     # wc: (3, 1, 3C, O) with channel blocks matching xc's dx-major layout
     wc = jnp.concatenate([w[:, dx] for dx in range(3)], axis=1)
     wc = wc.reshape(3, 1, 3 * c, -1)

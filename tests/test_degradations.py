@@ -237,10 +237,12 @@ def test_nonlinear_blur_slots():
     tidx = jnp.asarray([1, 0, 2, 1, 0, 0, 0, 0])
     exact = D.apply_nonlinear_blur(x, tidx, kl, key, ksize=7, slots=None)
     slot = D.apply_nonlinear_blur(x, tidx, kl, key, ksize=7, slots=4)
-    assert float(jnp.max(jnp.abs(exact - slot))) == 0.0
+    # median is sort-based (exact); the bilateral exp/accumulate may
+    # differ at ulp level between the two program shapes on TPU
+    assert float(jnp.max(jnp.abs(exact - slot))) < 1e-6
     # overflow: 5 medians into 4 slots -> exactly one sample differs
     tidx2 = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 2])
     exact2 = D.apply_nonlinear_blur(x, tidx2, kl, key, ksize=7, slots=None)
     slot2 = D.apply_nonlinear_blur(x, tidx2, kl, key, ksize=7, slots=4)
     per = np.abs(np.asarray(exact2 - slot2)).reshape(8, -1).max(1)
-    assert int((per > 0).sum()) == 1
+    assert int((per > 1e-6).sum()) == 1
