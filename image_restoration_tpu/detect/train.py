@@ -121,3 +121,87 @@ class DetectorTrainer:
                                  "batch_stats": self.state["batch_stats"]}),
                    force=True)
         ckptr.wait_until_finished()
+
+    def load(self, path: str):
+        import orbax.checkpoint as ocp
+        import os.path as osp
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray,
+                              {"params": self.state["params"],
+                               "batch_stats": self.state["batch_stats"]})
+        restored = ckptr.restore(osp.abspath(path), target)
+        self.state["params"] = restored["params"]
+        self.state["batch_stats"] = restored["batch_stats"]
+
+
+# Backbone aliases: the reference CLI calls them 'mobile0.25'/'resnet50'
+# (Plate_Detect/Retina-License-Plate/train.py:18) while the arch registry
+# uses the cfg names.
+_BACKBONE_ALIASES = {"mobile0.25": "mobilenet0.25",
+                     "mobilenet0.25": "mobilenet0.25",
+                     "resnet18": "Resnet18", "Resnet18": "Resnet18",
+                     "resnet50": "Resnet50", "Resnet50": "Resnet50",
+                     "mobilenetv3": "MobilenetV3",
+                     "MobilenetV3": "MobilenetV3"}
+
+
+def main(argv=None):
+    """CLI parity with Plate_Detect/Retina-License-Plate/train.py:17-28
+    (SGD hyperparameters, epoch/decay schedule and default batch size come
+    from the per-backbone cfg exactly as the reference's do; the torch
+    DataLoader worker knob has no TPU equivalent and is accepted but
+    ignored)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="RetinaFace plate-detector training")
+    p.add_argument("--training_dataset",
+                   default="./data/licenseplate/train/label.txt",
+                   help="label.txt in the reference annotation format")
+    p.add_argument("--network", default="resnet18",
+                   help="mobile0.25 | resnet18 | resnet50 | mobilenetv3")
+    p.add_argument("--num_workers", default=4, type=int,
+                   help="accepted for CLI parity; loading is on-device")
+    p.add_argument("--lr", "--learning-rate", default=1e-3, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--resume_net", default=None,
+                   help="orbax checkpoint dir saved by this trainer")
+    p.add_argument("--resume_epoch", default=0, type=int)
+    p.add_argument("--weight_decay", default=5e-4, type=float)
+    p.add_argument("--gamma", default=0.1, type=float,
+                   help="accepted for parity; decay factor is 0.1 as in cfg")
+    p.add_argument("--save_folder", default="./weights/")
+    p.add_argument("--image_size", default=224, type=int)
+    p.add_argument("--batch_size", default=None, type=int,
+                   help="default: the per-backbone cfg batch_size")
+    p.add_argument("--epochs", default=None, type=int,
+                   help="default: the per-backbone cfg epoch count")
+    args = p.parse_args(argv)
+
+    backbone = _BACKBONE_ALIASES[args.network]
+    cfg = get_cfg(backbone)
+    batch_size = args.batch_size or cfg["batch_size"]
+    epochs = args.epochs or cfg["epoch"]
+    from .dataset import LicensePlateDetection
+    dataset = LicensePlateDetection(args.training_dataset,
+                                    image_size=args.image_size)
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    decay_steps = [cfg["decay1"] * steps_per_epoch,
+                   cfg["decay2"] * steps_per_epoch]
+    trainer = DetectorTrainer(
+        backbone=backbone, image_size=args.image_size, lr=args.lr,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        decay_steps=decay_steps, total_steps=epochs * steps_per_epoch)
+    if args.resume_net:
+        trainer.load(args.resume_net)
+        trainer.state["step"] = args.resume_epoch * steps_per_epoch
+    trainer.fit(dataset, epochs=epochs - args.resume_epoch,
+                batch_size=batch_size)
+    import os
+    os.makedirs(args.save_folder, exist_ok=True)
+    out = os.path.join(args.save_folder, f"{backbone}_final")
+    trainer.save(out)
+    trainer.logger.info(f"saved final checkpoint to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -312,3 +312,39 @@ def test_retinaface_golden_vs_reference(backbone):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(j_ldm), t_ldm.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow  # ~120s; full CLI wiring incl. save + resume restore
+def test_detector_train_cli(tmp_path):
+    """detect.train.main parity with the reference CLI
+    (Plate_Detect/Retina-License-Plate/train.py:17-28): label.txt dataset,
+    backbone alias, checkpoint save, --resume_net restore."""
+    import cv2
+    from image_restoration_tpu.detect.train import main
+
+    d = tmp_path / "train"
+    (d / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / "images" / f"im{i}.jpg"), img)
+        lines.append(f"# im{i}.jpg")
+        lines.append("10 10 40 20 12.0 12.0 0.0 45.0 12.0 0.0 28.0 22.0 "
+                     "0.0 12.0 28.0 0.0 45.0 28.0 0.0 1")
+    (d / "label.txt").write_text("\n".join(lines) + "\n")
+
+    save1 = tmp_path / "w1"
+    main(["--training_dataset", str(d / "label.txt"),
+          "--network", "mobile0.25", "--image_size", "64",
+          "--batch_size", "2", "--epochs", "1",
+          "--save_folder", str(save1)])
+    ckpt = save1 / "mobilenet0.25_final"
+    assert ckpt.exists()
+    # resume restores without shape errors and trains another epoch
+    main(["--training_dataset", str(d / "label.txt"),
+          "--network", "mobile0.25", "--image_size", "64",
+          "--batch_size", "2", "--epochs", "2", "--resume_epoch", "1",
+          "--resume_net", str(ckpt),
+          "--save_folder", str(tmp_path / "w2")])
+    assert (tmp_path / "w2" / "mobilenet0.25_final").exists()
