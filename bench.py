@@ -65,6 +65,62 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
+                  emit_error_json=False):
+    """Fail fast instead of hanging when the axon tunnel daemon is dead.
+
+    The tunnel relay can die mid-session (observed 2026-08-17); after that
+    every dispatch blocks forever, which would hang the driver's bench run
+    with no diagnostic. Two guards: a tiny-op probe in a worker thread
+    before any real work, and a SIGALRM watchdog bounding the whole run
+    (normal full run including the diagnostics tail is well under an
+    hour; only a mid-run tunnel death exceeds it).
+
+    With emit_error_json, a dead backend still prints the one-line headline
+    JSON (value 0, an "error" field, and a pointer at the last live-measured
+    artifacts under docs/assets/) so the failure is machine-readable rather
+    than an empty record.
+    """
+    import signal
+    import threading
+
+    def bail(why):
+        log(f"FATAL: {why}")
+        if emit_error_json:
+            print(json.dumps({
+                "metric": "tiles_per_s_per_chip", "value": 0.0,
+                "unit": "512px_x4_tiles/s", "vs_baseline": 0.0,
+                "error": why + "; last live-measured results are in "
+                         "docs/assets/*.json and BENCH_r02.json",
+            }), flush=True)
+        os._exit(2)
+
+    def fire(signum, frame):
+        log(f"WATCHDOG: bench exceeded {total_timeout_s}s — axon tunnel "
+            f"likely died mid-run; aborting")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(total_timeout_s)
+
+    outcome = []
+
+    def probe():
+        try:
+            outcome.append(float(jnp.sum(jnp.ones((8, 8)))))
+        except Exception as e:  # pragma: no cover - backend failure path
+            outcome.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(probe_timeout_s)
+    if not outcome:
+        bail(f"backend unresponsive to a tiny-op probe after "
+             f"{probe_timeout_s}s (axon tunnel daemon likely dead)")
+    if isinstance(outcome[0], Exception):
+        bail(f"backend probe raised: {outcome[0]!r}")
+
+
 def onchip_ms(apply_fn, params, x, iters=ITERS, repeats=3):
     """ms per forward, measured as an on-chip scan with data dependency.
 
@@ -183,6 +239,7 @@ def echo_artifacts():
 def main():
     rng = np.random.default_rng(0)
     size = TILE + 2 * HALO  # halo-padded tile as served by tiled_apply
+    guard_backend(emit_error_json=True)
     log(f"devices: {jax.devices()}")
 
     # ---- build: SRVGG realesr-general x4, packed bf16 + int8 PTQ
@@ -338,6 +395,7 @@ if __name__ == "__main__":
         # by the default mode's diagnostics
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
+        guard_backend()
         import bench_train
         bench_train.bench_steps()
     else:
