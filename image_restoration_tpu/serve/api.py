@@ -51,18 +51,40 @@ class ServiceCore:
     """Endpoint logic shared by both HTTP shells."""
 
     def __init__(self, pipeline: Optional[PlatePipeline] = None,
-                 restorer=None, sr_engine=None):
+                 restorer=None, sr_engine=None,
+                 microbatch: Optional[int] = None,
+                 microbatch_wait_ms: float = 5.0):
+        import os
         self.pipeline = pipeline or PlatePipeline()
         self.restorer = restorer or self.pipeline.car_restorer
         # tiled-SR engine (scripts/export_restorer.py artifact); also
         # loadable from the IRT_SR_ENGINE env var
         if sr_engine is None:
-            import os
             eng_dir = os.environ.get("IRT_SR_ENGINE")
             if eng_dir:
                 from .engine_restorer import EngineRestorer
                 sr_engine = EngineRestorer(eng_dir)
         self.sr_engine = sr_engine
+        # dynamic micro-batching of concurrent /Restore//RestoreConcat/
+        # requests into one device dispatch (serve/batching.py); opt-in via
+        # the arg or IRT_MICROBATCH=<max batch>. 0/absent = per-request
+        # dispatch, matching the reference servers' behavior.
+        if microbatch is None:
+            microbatch = int(os.environ.get("IRT_MICROBATCH", "0") or 0)
+        self.batcher = None
+        if microbatch:
+            from .batching import MicroBatcher
+            self.batcher = MicroBatcher(self.restorer.restore_batch,
+                                        max_batch=microbatch,
+                                        max_wait_ms=microbatch_wait_ms)
+
+    def _restore_one(self, rgb01: np.ndarray) -> np.ndarray:
+        """One HWC RGB float [0,1] image → restored BGR uint8, through the
+        micro-batcher when enabled (requests arriving within the wait
+        window share a single device dispatch)."""
+        if self.batcher is not None:
+            return self.batcher(rgb01)
+        return self.restorer(rgb01)
 
     def vehicle_resolution(self, img_bgr: np.ndarray) -> bytes:
         result = self.pipeline.process(img_bgr)
@@ -76,7 +98,7 @@ class ServiceCore:
         """api.py behavior: resize to model size, restore, JPEG (:92-151)."""
         s = self._size()
         img = cv2.resize(img_bgr, (s, s))
-        out = self.restorer(img[..., ::-1].astype(np.float32) / 255.0)
+        out = self._restore_one(img[..., ::-1].astype(np.float32) / 255.0)
         ok, buf = cv2.imencode(".jpg", out)
         return buf.tobytes()
 
@@ -84,7 +106,7 @@ class ServiceCore:
         """api1.py behavior: hconcat(input, output) (:106-174)."""
         s = self._size()
         img = cv2.resize(img_bgr, (s, s))
-        out = self.restorer(img[..., ::-1].astype(np.float32) / 255.0)
+        out = self._restore_one(img[..., ::-1].astype(np.float32) / 255.0)
         concat = cv2.hconcat([img, out])
         ok, buf = cv2.imencode(".jpg", concat)
         return buf.tobytes()
@@ -197,4 +219,15 @@ def run_server(host: str = "0.0.0.0", port: int = 8000,
 
 
 if __name__ == "__main__":
-    run_server()
+    import argparse
+    ap = argparse.ArgumentParser(description="restoration serving host")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="coalesce concurrent restore requests into one "
+                         "device dispatch of up to N (0 = per-request)")
+    ap.add_argument("--microbatch-wait-ms", type=float, default=5.0)
+    a = ap.parse_args()
+    run_server(a.host, a.port,
+               core=ServiceCore(microbatch=a.microbatch,
+                                microbatch_wait_ms=a.microbatch_wait_ms))

@@ -1,0 +1,110 @@
+"""Measure serving throughput with and without dynamic micro-batching.
+
+Drives ServiceCore.restore (the /Restore/ endpoint body — resize, restore,
+JPEG-encode) from K concurrent client threads over the production GFPGAN
+256² generator, with micro-batching off (per-request dispatch, the
+reference servers' behavior — Car_Plate-Restoration/api.py:125-151) and on
+(serve/batching.py). Reports imgs/s and per-request latency for each mode.
+
+Run on the real chip:  python scripts/bench_microbatch.py
+(CPU sanity:  JAX_PLATFORMS=cpu python scripts/bench_microbatch.py --tiny)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from types import SimpleNamespace
+
+import numpy as np
+import cv2
+
+
+def run_mode(core, img_bgr, clients: int, per_client: int):
+    lat = []
+    lock = threading.Lock()
+
+    def worker():
+        for _ in range(per_client):
+            t0 = time.monotonic()
+            core.restore(img_bgr)
+            dt = time.monotonic() - t0
+            with lock:
+                lat.append(dt)
+
+    threads = [threading.Thread(target=worker) for _ in range(clients)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    n = clients * per_client
+    return {
+        "imgs_per_s": n / wall,
+        "wall_s": wall,
+        "n": n,
+        "lat_p50_ms": float(np.percentile(lat, 50) * 1e3),
+        "lat_p95_ms": float(np.percentile(lat, 95) * 1e3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--per-client", type=int, default=8)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--wait-ms", type=float, default=8.0)
+    ap.add_argument("--quant", default=None, choices=[None, "dyn-int8"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="64² generator for CPU sanity runs")
+    args = ap.parse_args()
+
+    from image_restoration_tpu.infer import Restorer, PRODUCTION_GFPGAN
+    from image_restoration_tpu.serve.api import ServiceCore
+
+    net = dict(PRODUCTION_GFPGAN)
+    if args.tiny:
+        net.update(input_width=64, input_height=64, num_style_feat=16,
+                   channel_multiplier=0.25, num_mlp=2, narrow=0.5)
+    restorer = Restorer(net, quant=args.quant)
+    size = restorer.input_size[0]
+    rng = np.random.default_rng(0)
+    img_bgr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+    fake_pipe = SimpleNamespace(car_restorer=restorer)
+    results = {}
+    for label, mb in [("per_request", 0), ("microbatch", args.max_batch)]:
+        core = ServiceCore(pipeline=fake_pipe, restorer=restorer,
+                           microbatch=mb, microbatch_wait_ms=args.wait_ms)
+        core.restore(img_bgr)  # warm the jit caches outside timing
+        if core.batcher is not None:
+            # warm every bucket the run can hit so compiles stay out of
+            # the timed window (buckets are powers of two up to max)
+            for b in core.batcher.buckets:
+                restorer.restore_batch(
+                    np.repeat(img_bgr[None], b, 0)[..., ::-1]
+                    .astype(np.float32) / 255.0)
+            core.batcher.stats.update(items=0, dispatches=0,
+                                      padded_rows=0, batch_hist={})
+        results[label] = run_mode(core, img_bgr, args.clients,
+                                  args.per_client)
+        if core.batcher is not None:
+            results[label]["batcher_stats"] = dict(
+                core.batcher.stats, batch_hist=dict(
+                    core.batcher.stats["batch_hist"]))
+            core.batcher.stop()
+        print(label, json.dumps(results[label]), flush=True)
+
+    speedup = (results["microbatch"]["imgs_per_s"]
+               / results["per_request"]["imgs_per_s"])
+    print(json.dumps({"metric": "serve_microbatch_speedup",
+                      "value": round(speedup, 3), "unit": "x",
+                      "clients": args.clients,
+                      "quant": args.quant}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Micro-batching serving layer (serve/batching.py).
+
+Unit tests drive MicroBatcher with a recording batch_fn; the integration
+test runs the stdlib HTTP host with micro-batching enabled and fires
+concurrent /Restore/ requests, asserting they coalesce into fewer device
+dispatches than requests.
+"""
+
+import threading
+import time
+import urllib.request
+from types import SimpleNamespace
+
+import numpy as np
+import cv2
+import pytest
+
+from image_restoration_tpu.serve.batching import MicroBatcher
+
+
+def make_recorder(out_fn=lambda a: a * 2.0, delay_s=0.0):
+    calls = []
+
+    def batch_fn(arr):
+        calls.append(arr.shape[0])
+        if delay_s:
+            time.sleep(delay_s)
+        return out_fn(arr)
+
+    return batch_fn, calls
+
+
+def test_coalesces_concurrent_submits():
+    batch_fn, calls = make_recorder(delay_s=0.02)
+    b = MicroBatcher(batch_fn, max_batch=8, max_wait_ms=100.0)
+    items = [np.full((4, 4, 3), i, np.float32) for i in range(8)]
+    futs = [b.submit(x) for x in items]
+    outs = [f.result(timeout=10) for f in futs]
+    for i, o in enumerate(outs):  # result routed back to the right caller
+        np.testing.assert_allclose(o, items[i] * 2.0)
+    assert sum(calls) >= 8  # padding rows included
+    assert len(calls) < 8  # strictly fewer dispatches than requests
+    assert b.stats["items"] == 8
+    b.stop()
+
+
+def test_bucket_padding():
+    batch_fn, calls = make_recorder()
+    b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=50.0,
+                     buckets=(1, 2, 4))
+    futs = [b.submit(np.ones((2, 2), np.float32) * i) for i in range(3)]
+    outs = [f.result(timeout=10) for f in futs]
+    assert len(outs) == 3
+    # 3 items pad up to the 4-bucket (maybe split across dispatches, but
+    # every dispatch size must be a bucket)
+    assert all(c in (1, 2, 4) for c in calls)
+    assert b.stats["padded_rows"] >= 1 or len(calls) > 1
+    b.stop()
+
+
+def test_exception_fans_out():
+    def boom(arr):
+        raise RuntimeError("device on fire")
+
+    b = MicroBatcher(boom, max_batch=4, max_wait_ms=20.0)
+    futs = [b.submit(np.zeros((2,), np.float32)) for _ in range(3)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            f.result(timeout=10)
+    b.stop()
+
+
+def test_shape_mismatch_rejected_at_submit():
+    batch_fn, _ = make_recorder()
+    b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=20.0)
+    b.submit(np.zeros((4, 4), np.float32)).result(timeout=10)
+    with pytest.raises(ValueError, match="resize before submitting"):
+        b.submit(np.zeros((8, 8), np.float32))
+    b.stop()
+
+
+def test_single_request_latency_bounded():
+    batch_fn, calls = make_recorder()
+    b = MicroBatcher(batch_fn, max_batch=32, max_wait_ms=30.0)
+    t0 = time.monotonic()
+    b(np.zeros((2, 2), np.float32), timeout=10)
+    assert time.monotonic() - t0 < 5.0  # window closes, no deadlock
+    assert calls == [1]
+    b.stop()
+
+
+class _StubRestorer:
+    """Restorer-shaped stub: RGB float [0,1] in, BGR uint8 out."""
+
+    input_size = (16, 16)
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def restore_batch(self, imgs):
+        self.batch_sizes.append(imgs.shape[0])
+        time.sleep(0.02)  # emulate a device dispatch
+        return (imgs[..., ::-1] * 255).astype(np.uint8)
+
+    def __call__(self, img):
+        return self.restore_batch(img[None])[0]
+
+
+def test_http_concurrent_requests_coalesce():
+    from http.server import ThreadingHTTPServer
+    from image_restoration_tpu.serve.api import (ServiceCore,
+                                                 make_stdlib_handler)
+
+    stub = _StubRestorer()
+    core = ServiceCore(pipeline=SimpleNamespace(car_restorer=stub),
+                       restorer=stub, microbatch=8,
+                       microbatch_wait_ms=100.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_stdlib_handler(core))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img = (np.random.default_rng(0).random((16, 16, 3)) * 255)
+        ok, buf = cv2.imencode(".jpg", img.astype(np.uint8))
+        results, errs = [], []
+
+        def post():
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/Restore/",
+                    data=buf.tobytes(),
+                    headers={"Content-Type": "application/octet-stream"})
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    results.append(resp.read())
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        threads = [threading.Thread(target=post) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs
+        assert len(results) == 8
+        for r in results:  # each response decodes back to a 16² image
+            out = cv2.imdecode(np.frombuffer(r, np.uint8), cv2.IMREAD_COLOR)
+            assert out.shape == (16, 16, 3)
+        # the 8 concurrent requests shared device dispatches
+        assert core.batcher.stats["items"] == 8
+        assert core.batcher.stats["dispatches"] < 8
+    finally:
+        server.shutdown()
+        core.batcher.stop()
