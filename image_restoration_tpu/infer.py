@@ -36,15 +36,25 @@ class Restorer:
     def __init__(self, network_opt: dict, ckpt_path: Optional[str] = None,
                  param_key: str = "params_ema", dtype=None,
                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
-                 out_min_max=(-1, 1), quant: Optional[str] = None):
+                 out_min_max=(-1, 1), quant: Optional[str] = None,
+                 data_parallel: Optional[int] = None):
         """quant="dyn-int8" traces every conv in dynamic-int8 serving mode
         (ops/modulated_conv.int8_serving): per-out-channel int8 weights,
         on-the-fly per-tensor activation scales. Measured on the
         production 256² generator: +42% over bf16 at batch 32 under a
         44.1 dB quality gate, slower below bs≈32 — use it with
-        `restore_batch` (docs/PERFORMANCE.md "GFPGAN serving PTQ")."""
+        `restore_batch` (docs/PERFORMANCE.md "GFPGAN serving PTQ").
+
+        data_parallel=N shards `restore_batch` over the first N local
+        devices (params replicated, batch split on a 1-D jax.sharding
+        Mesh — the serving-side analog of the trainers' DP mesh). Batches
+        are padded up to a multiple of N so XLA sees static shapes."""
         if quant not in (None, "dyn-int8"):  # fail before the minutes of
             raise ValueError(f"unknown quant mode {quant!r}")  # build/init
+        if data_parallel and data_parallel > jax.local_device_count():
+            raise ValueError(
+                f"data_parallel={data_parallel} > "
+                f"{jax.local_device_count()} local devices")
         opt = dict(network_opt)
         if dtype is not None:
             opt["dtype"] = dtype
@@ -80,17 +90,37 @@ class Restorer:
 
         self._fwd = jax.jit(fwd)
 
+        self.data_parallel = data_parallel or 0
+        self._fwd_dp = None
+        if self.data_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            mesh = Mesh(
+                np.asarray(jax.devices()[:self.data_parallel]), ("data",))
+            rep = NamedSharding(mesh, P())
+            split = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(self.variables, rep)
+            self._fwd_dp = jax.jit(fwd, in_shardings=(rep, split),
+                                   out_shardings=split)
+
     def restore_batch(self, imgs: np.ndarray) -> np.ndarray:
         """Batched restore: (N,H,W,3) RGB float [0,1] → (N,H',W',3) BGR
-        uint8. The batch path is where quant="dyn-int8" pays (bs≥32)."""
+        uint8. The batch path is where quant="dyn-int8" pays (bs≥32).
+        With data_parallel=N the batch is sharded across N devices
+        (padded up to a multiple of N)."""
+        n = imgs.shape[0]
+        dp = self.data_parallel if self.data_parallel > 1 else 0
+        if dp and n % dp:
+            pad = dp - n % dp
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
         x = jnp.asarray((imgs - self.mean) / self.std)
         if self.input_size[0] is not None and (
                 x.shape[1] != self.input_size[0]
                 or x.shape[2] != self.input_size[1]):
             x = jresize(x, self.input_size, "bilinear")
+        fwd = self._fwd_dp if dp else self._fwd
         # ONE device->host transfer for the whole batch (each np.asarray
         # of a device slice is a separate dispatch on the axon tunnel)
-        out_np = np.asarray(self._fwd(self.variables["params"], x))
+        out_np = np.asarray(fwd(self.variables["params"], x))[:n]
         return np.stack([tensor2img(out_np[i:i + 1],
                                     min_max=self.out_min_max)
                          for i in range(out_np.shape[0])])
