@@ -92,12 +92,13 @@ class Restorer:
 
         self.data_parallel = data_parallel or 0
         self._fwd_dp = None
+        self._mesh = None
         if self.data_parallel > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-            mesh = Mesh(
+            self._mesh = Mesh(
                 np.asarray(jax.devices()[:self.data_parallel]), ("data",))
-            rep = NamedSharding(mesh, P())
-            split = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(self._mesh, P())
+            split = NamedSharding(self._mesh, P("data"))
             self.variables = jax.device_put(self.variables, rep)
             self._fwd_dp = jax.jit(fwd, in_shardings=(rep, split),
                                    out_shardings=split)
@@ -139,10 +140,16 @@ class Restorer:
     def restore_tiled(self, img: np.ndarray, tile: int = 512,
                       halo: int = 16, scale: int = 4,
                       tile_batch: int = 4) -> np.ndarray:
+        """Halo-tiled large-image restore. With data_parallel=N the tile
+        grid is sharded over the device mesh (tile_batch rounded up to a
+        multiple of N) — tiles run data-parallel across chips."""
+        dp = self.data_parallel if self.data_parallel > 1 else 0
+        if dp and tile_batch % dp:
+            tile_batch += dp - tile_batch % dp
         x = jnp.asarray((img - self.mean) / self.std)[None]
         out = tiled_apply(lambda t: self._fwd(self.variables["params"], t),
                           x, tile=tile, halo=halo, scale=scale,
-                          tile_batch=tile_batch)
+                          tile_batch=tile_batch, mesh=self._mesh)
         return tensor2img(out, min_max=self.out_min_max)
 
 

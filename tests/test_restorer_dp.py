@@ -24,6 +24,16 @@ def test_dp_matches_single_device(rng):
     assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
 
 
+def test_dp_tiled_matches_single_device(rng):
+    base = Restorer(TINY_SRVGG, **KW)
+    dp = Restorer(TINY_SRVGG, data_parallel=4, **KW)
+    img = rng.random((40, 56, 3)).astype(np.float32)  # non-square, odd grid
+    want = base.restore_tiled(img, tile=16, halo=4, scale=2, tile_batch=3)
+    got = dp.restore_tiled(img, tile=16, halo=4, scale=2, tile_batch=3)
+    assert got.shape == want.shape == (80, 112, 3)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
 def test_dp_rejects_oversubscription():
     import jax
     with pytest.raises(ValueError, match="local devices"):
