@@ -47,10 +47,16 @@ class DetectorTrainer:
                                             (image_size, image_size)))
 
         boundaries = {int(s): 0.1 for s in decay_steps}
-        schedule = optax.piecewise_constant_schedule(lr, boundaries)
+        self.schedule = optax.piecewise_constant_schedule(lr, boundaries)
+        # The LR is applied from self.state["step"] inside the train step
+        # (not from optax's internal count) so a resume that sets "step"
+        # fast-forwards the decay schedule — matching the reference, which
+        # recomputes lr from the resumed epoch each iteration
+        # (Plate_Detect/Retina-License-Plate/train.py:121,154-166). unit
+        # lr here; the schedule scales the update in _build_step.
         self.tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
-            optax.sgd(learning_rate=schedule, momentum=momentum))
+            optax.sgd(learning_rate=1.0, momentum=momentum))
         self.state = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
@@ -81,6 +87,10 @@ class DetectorTrainer:
                 loss_fn, has_aux=True)(state["params"])
             updates, opt = self.tx.update(grads, state["opt"],
                                           state["params"])
+            # optax.sgd applies lr after the momentum trace, so scaling the
+            # unit-lr updates by schedule(step) is exactly sgd(lr=schedule)
+            lr = self.schedule(state["step"])
+            updates = jax.tree.map(lambda u: u * lr, updates)
             params = optax.apply_updates(state["params"], updates)
             return dict(params=params, batch_stats=new_stats, opt=opt,
                         step=state["step"] + 1), losses
