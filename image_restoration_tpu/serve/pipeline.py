@@ -119,24 +119,12 @@ class PlatePipeline:
         x = img[..., ::-1].astype(np.float32) / 255.0
         return self.car_restorer(x)             # returns BGR uint8
 
-    # -------------------------------------------------------------- main
-
-    def process(self, img_bgr: np.ndarray) -> Dict[str, np.ndarray]:
-        """Full pipeline on one BGR uint8 image. Returns all stage images
-        (montage matches the reference's 6-panel output)."""
+    def _finish_one(self, canvas, quad, score, ok, crop, plate_restored,
+                    car_restored) -> Dict[str, np.ndarray]:
+        """Host post stage: perspective warp, paste-back, montage
+        (ref :304-320, :449-466). Pure OpenCV/numpy — no device work."""
         t = self.TARGET
-        canvas = cv2.resize(img_bgr, (t, t),
-                            interpolation=cv2.INTER_LINEAR)
-        quad, score, ok = self._detect_quad(img_bgr)
-        quad = np.clip(quad, 0, t - 1)
-
-        crop = self._crop_plate(canvas, quad)
         crop_padded = resize_with_padding(crop, (t, t))
-
-        plate_restored = self._restore_plate(
-            cv2.resize(crop, (t, t)) if crop.size else
-            np.zeros((t, t, 3), np.uint8))
-        car_restored = self._restore_car(img_bgr)
 
         # perspective: restored crop (256²) → original quad (ref :304-320)
         pst1 = np.float32([[0, 0], [t, 0], [t, t], [0, t]])
@@ -168,3 +156,105 @@ class PlatePipeline:
             "pasted": pasted,
             "montage": montage,
         }
+
+    # -------------------------------------------------------------- main
+
+    def process(self, img_bgr: np.ndarray) -> Dict[str, np.ndarray]:
+        """Full pipeline on one BGR uint8 image. Returns all stage images
+        (montage matches the reference's 6-panel output)."""
+        t = self.TARGET
+        canvas = cv2.resize(img_bgr, (t, t),
+                            interpolation=cv2.INTER_LINEAR)
+        quad, score, ok = self._detect_quad(img_bgr)
+        quad = np.clip(quad, 0, t - 1)
+
+        crop = self._crop_plate(canvas, quad)
+        plate_restored = self._restore_plate(
+            cv2.resize(crop, (t, t)) if crop.size else
+            np.zeros((t, t, 3), np.uint8))
+        car_restored = self._restore_car(img_bgr)
+        return self._finish_one(canvas, quad, score, ok, crop,
+                                plate_restored, car_restored)
+
+    def process_batch(self, imgs, chunk_size: int = 8,
+                      host_workers: int = 4):
+        """Batched + pipelined E2E over a list of BGR uint8 images.
+
+        Per-image `process` leaves the chip idle during every host OpenCV
+        stage and dispatches each restore alone; this path runs the
+        detector at bs=chunk_size, the two restores as batched dispatches
+        (ONE fused 2N dispatch when plate and car share a Restorer), host
+        stages thread-parallel across the chunk, and the paste/montage of
+        chunk i overlapped with chunk i+1's device work. Ragged final
+        chunks are padded up to chunk_size (compute discarded) so XLA
+        compiles exactly one batch shape per stage.
+
+        Returns a list of `process`-shaped dicts in input order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not len(imgs):
+            return []
+        t = self.TARGET
+        ds = self.detector.image_size
+        fused = self.plate_restorer is self.car_restorer
+        results: list = [None] * len(imgs)
+        post: list = []  # (result index, future)
+
+        def pre(img):
+            canvas = cv2.resize(img, (t, t), interpolation=cv2.INTER_LINEAR)
+            det_in = cv2.resize(img.astype(np.float32), (ds, ds),
+                                interpolation=cv2.INTER_LINEAR)
+            # _restore_car input: BGR→RGB swap + [0,1] (ref :376-401)
+            car_in = cv2.resize(img, (t, t))[..., ::-1] \
+                .astype(np.float32) / 255.0
+            return canvas, det_in, car_in
+
+        def mid(canvas, quad):
+            crop = self._crop_plate(canvas, quad)
+            # _restore_plate input: NO channel swap (ref :349-374)
+            plate_in = (cv2.resize(crop, (t, t)) if crop.size else
+                        np.zeros((t, t, 3), np.uint8)) \
+                .astype(np.float32) / 255.0
+            return crop, plate_in
+
+        with ThreadPoolExecutor(max_workers=host_workers) as pool:
+            for base in range(0, len(imgs), chunk_size):
+                chunk = list(imgs[base:base + chunk_size])
+                n_real = len(chunk)
+                chunk += [chunk[-1]] * (chunk_size - n_real)
+
+                canvases, det_ins, car_ins = zip(*pool.map(pre, chunk))
+                boxes, scores, landms, valid = self.detector(
+                    np.stack(det_ins))
+
+                quads, scs, oks = [], [], []
+                for i in range(len(chunk)):
+                    pts = (landms[i, 0].reshape(5, 2) * t).astype(np.int32)
+                    p1, p2, _, p4, p5 = pts
+                    quads.append(np.clip(
+                        np.array([p1, p2, p5, p4], np.int32), 0, t - 1))
+                    scs.append(float(scores[i, 0]))
+                    oks.append(bool(valid[i, 0]))
+
+                mids = list(pool.map(mid, canvases, quads))
+                crops = [m[0] for m in mids]
+                plate_ins = np.stack([m[1] for m in mids])
+                cars = np.stack(car_ins)
+                if fused:
+                    both = self.plate_restorer.restore_batch(
+                        np.concatenate([plate_ins, cars]))
+                    plate_outs = both[:len(chunk)][..., ::-1]
+                    car_outs = both[len(chunk):]
+                else:
+                    plate_outs = self.plate_restorer.restore_batch(
+                        plate_ins)[..., ::-1]
+                    car_outs = self.car_restorer.restore_batch(cars)
+
+                for i in range(n_real):
+                    post.append((base + i, pool.submit(
+                        self._finish_one, canvases[i], quads[i], scs[i],
+                        oks[i], crops[i], plate_outs[i], car_outs[i])))
+            for idx, fut in post:
+                results[idx] = fut.result()
+        return results

@@ -169,6 +169,30 @@ def main():
         f"({1e3 / batched_ms_per_img:.1f} imgs/s incl. host stages "
         f"serialized; device-only {1e3 / ((ms_detect_N + ms_restore_N) / N):.1f}/s)")
 
+    # ---- the REAL pipelined batch path (serve/pipeline.process_batch):
+    # detector bs=N + ONE fused 2N restore dispatch per chunk (2 device
+    # dispatches per chunk vs 3 per image), host stages thread-parallel,
+    # paste/montage overlapped with the next chunk's device work. Wall-
+    # clocked over real test images; through the axon tunnel the wall is
+    # RPC-inflated for BOTH paths, so the per-image/batched wall ratio is
+    # the meaningful figure here, and the TPU-host-resident latency is
+    # bounded by the on-chip projection above.
+    N_REAL = 32
+    imgs = [cv2.imread(p) for p in TEST_IMAGES]
+    imgs = (imgs * (N_REAL // len(imgs) + 1))[:N_REAL]
+    pipe.process_batch(imgs[:8], chunk_size=8)  # warm both batch shapes
+    t0 = time.perf_counter()
+    res = pipe.process_batch(imgs, chunk_size=8)
+    wall_batch = (time.perf_counter() - t0) / N_REAL * 1e3
+    assert len(res) == N_REAL and res[0]["montage"].shape == (t, 6 * t, 3)
+    t0 = time.perf_counter()
+    for im in imgs[:4]:
+        pipe.process(im)
+    wall_seq = (time.perf_counter() - t0) / 4 * 1e3
+    log(f"process_batch (REAL path, chunk=8): {wall_batch:.1f} ms/img wall "
+        f"vs per-image process {wall_seq:.1f} ms/img wall "
+        f"({wall_seq / wall_batch:.1f}x; dispatches/img 0.25 vs 3)")
+
     out = {
         "date": time.strftime("%Y-%m-%d"),
         "image": os.path.basename(TEST_IMAGES[0]),
@@ -186,6 +210,12 @@ def main():
             "sequential_restores": round(seq, 2),
             "fused_bs2_restore": round(fused, 2),
             "batched_n8": round(batched_ms_per_img, 2)},
+        "process_batch_real_wall_ms_per_image": {
+            "batched_chunk8": round(wall_batch, 2),
+            "per_image": round(wall_seq, 2),
+            "note": "wall-clock of the implemented process_batch through "
+                    "the axon tunnel (RPC-inflated for both paths; the "
+                    "ratio is the signal — 2 dispatches/chunk vs 3/image)"},
         "tunnel_wall_ms_full_pass": round(tunnel_wall_ms, 1),
         "note": "host+on-chip split; per-image = host total + on-chip "
                 "device total (TPU-host-resident serving). Tunnel wall "

@@ -61,6 +61,31 @@ def test_pipeline_process(pipeline, rng):
     assert np.isfinite(result["score"])
 
 
+def test_pipeline_process_batch_matches_process(pipeline, rng):
+    """Batched+pipelined E2E == per-image process on every stage output.
+
+    Host stages are identical code; the restores run at a different batch
+    size, so uint8 outputs may differ by ±1 where XLA's batch-1 vs batch-N
+    conv lowerings round differently — bound that, require exact host
+    fields, and exercise a ragged final chunk (5 images, chunk 2)."""
+    imgs = [(rng.random((100 + 7 * i, 140, 3)) * 255).astype(np.uint8)
+            for i in range(5)]
+    batched = pipeline.process_batch(imgs, chunk_size=2, host_workers=3)
+    assert len(batched) == len(imgs)
+    for img, got in zip(imgs, batched):
+        want = pipeline.process(img)
+        assert sorted(got) == sorted(want)
+        np.testing.assert_array_equal(got["input"], want["input"])
+        np.testing.assert_array_equal(got["quad"], want["quad"])
+        assert got["detected"] == want["detected"]
+        np.testing.assert_allclose(got["score"], want["score"], rtol=1e-5)
+        np.testing.assert_array_equal(got["crop"], want["crop"])
+        for k in ("plate_restored", "car_restored", "pasted", "montage"):
+            d = np.abs(got[k].astype(np.int16) - want[k].astype(np.int16))
+            assert d.max() <= 2, f"{k}: max dev {d.max()}"
+            assert (d > 0).mean() < 0.05, f"{k}: {(d > 0).mean():.3f} differ"
+
+
 def test_http_server_roundtrip(pipeline, rng):
     core = ServiceCore(pipeline=pipeline)
     from http.server import ThreadingHTTPServer
