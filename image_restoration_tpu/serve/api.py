@@ -72,11 +72,21 @@ class ServiceCore:
         if microbatch is None:
             microbatch = int(os.environ.get("IRT_MICROBATCH", "0") or 0)
         self.batcher = None
+        self.pipeline_batcher = None
         if microbatch:
             from .batching import MicroBatcher
             self.batcher = MicroBatcher(self.restorer.restore_batch,
                                         max_batch=microbatch,
                                         max_wait_ms=microbatch_wait_ms)
+            # full-pipeline endpoint: coalesce concurrent requests into one
+            # process_batch call (list mode — inputs are arbitrary-size;
+            # the pipeline pads its own fixed-shape chunks)
+            chunk = min(int(microbatch), 8)
+            self.pipeline_batcher = MicroBatcher(
+                lambda imgs: self.pipeline.process_batch(
+                    imgs, chunk_size=chunk),
+                max_batch=microbatch, max_wait_ms=microbatch_wait_ms,
+                stack=False)
 
     def _restore_one(self, rgb01: np.ndarray) -> np.ndarray:
         """One HWC RGB float [0,1] image → restored BGR uint8, through the
@@ -87,7 +97,10 @@ class ServiceCore:
         return self.restorer(rgb01)
 
     def vehicle_resolution(self, img_bgr: np.ndarray) -> bytes:
-        result = self.pipeline.process(img_bgr)
+        if self.pipeline_batcher is not None:
+            result = self.pipeline_batcher(img_bgr)
+        else:
+            result = self.pipeline.process(img_bgr)
         ok, buf = cv2.imencode(".png", result["montage"])
         return buf.tobytes()
 

@@ -53,14 +53,21 @@ class MicroBatcher:
         buckets: ascending pad targets; batches are padded up to the next
             bucket so XLA sees a bounded shape set. Default: powers of two
             up to max_batch.
+        stack: True (default) stacks same-shape items into one (N, ...)
+            array and pads to a bucket. False passes the raw item LIST to
+            batch_fn and expects a same-length sequence back — for
+            consumers that handle heterogeneous shapes and their own
+            padding, e.g. PlatePipeline.process_batch.
     """
 
     def __init__(self, batch_fn: Callable[[np.ndarray], np.ndarray],
                  max_batch: int = 32, max_wait_ms: float = 5.0,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 stack: bool = True):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.batch_fn = batch_fn
+        self.stack = stack
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.buckets = tuple(sorted(buckets)) if buckets else \
@@ -79,13 +86,14 @@ class MicroBatcher:
     # ---- client side ----
     def submit(self, item: np.ndarray) -> Future:
         item = np.asarray(item)
-        with self._lock:
-            if self._shape is None:
-                self._shape = item.shape
-            elif item.shape != self._shape:
-                raise ValueError(
-                    f"item shape {item.shape} != batcher shape "
-                    f"{self._shape}; resize before submitting")
+        if self.stack:
+            with self._lock:
+                if self._shape is None:
+                    self._shape = item.shape
+                elif item.shape != self._shape:
+                    raise ValueError(
+                        f"item shape {item.shape} != batcher shape "
+                        f"{self._shape}; resize before submitting")
         fut: Future = Future()
         self._q.put((item, fut))
         return fut
@@ -120,15 +128,23 @@ class MicroBatcher:
             self._dispatch(batch)
 
     def _dispatch(self, batch):
-        items = np.stack([b[0] for b in batch])
         futs = [b[1] for b in batch]
         n = len(futs)
         bucket = next(b for b in self.buckets if b >= n)
-        if bucket > n:
-            pad = np.repeat(items[-1:], bucket - n, axis=0)
-            items = np.concatenate([items, pad], axis=0)
         try:
-            out = np.asarray(self.batch_fn(items))[:n]
+            if self.stack:
+                items = np.stack([b[0] for b in batch])
+                if bucket > n:
+                    pad = np.repeat(items[-1:], bucket - n, axis=0)
+                    items = np.concatenate([items, pad], axis=0)
+                out = np.asarray(self.batch_fn(items))[:n]
+            else:  # list mode: the consumer pads/chunks itself
+                bucket = n
+                out = self.batch_fn([b[0] for b in batch])
+                if len(out) != n:
+                    raise RuntimeError(
+                        f"batch_fn returned {len(out)} results for {n} "
+                        "items")
         except Exception as exc:  # fan the failure out to every caller
             for f in futs:
                 f.set_exception(exc)

@@ -89,6 +89,42 @@ def test_single_request_latency_bounded():
     b.stop()
 
 
+def test_list_mode_heterogeneous_shapes():
+    """stack=False hands the raw item list to batch_fn (the
+    PlatePipeline.process_batch contract) — no shape check, no padding."""
+    calls = []
+
+    def list_fn(items):
+        calls.append([i.shape for i in items])
+        time.sleep(0.02)
+        return [i.sum() for i in items]
+
+    b = MicroBatcher(list_fn, max_batch=8, max_wait_ms=100.0, stack=False)
+    items = [np.ones((4 + i, 3), np.float32) for i in range(6)]
+    futs = [b.submit(x) for x in items]
+    outs = [f.result(timeout=10) for f in futs]
+    for x, o in zip(items, outs):
+        np.testing.assert_allclose(o, x.sum())
+    assert sum(len(c) for c in calls) == 6
+    assert len(calls) < 6  # coalesced
+    assert b.stats["padded_rows"] == 0
+    b.stop()
+
+
+def test_list_mode_wrong_result_count():
+    b = MicroBatcher(lambda items: items[:-1] if len(items) > 1 else items,
+                     max_batch=4, max_wait_ms=50.0, stack=False)
+    futs = [b.submit(np.zeros(2, np.float32)) for _ in range(3)]
+    # either coalesced (wrong count -> error fans out) or some singles
+    # succeed; every future must resolve either way
+    for f in futs:
+        try:
+            f.result(timeout=10)
+        except RuntimeError as e:
+            assert "results for" in str(e)
+    b.stop()
+
+
 class _StubRestorer:
     """Restorer-shaped stub: RGB float [0,1] in, BGR uint8 out."""
 
@@ -151,3 +187,69 @@ def test_http_concurrent_requests_coalesce():
     finally:
         server.shutdown()
         core.batcher.stop()
+
+
+class _StubPipeline:
+    """PlatePipeline-shaped stub recording process_batch coalescing."""
+
+    def __init__(self, restorer):
+        self.car_restorer = restorer
+        self.batch_calls = []
+
+    def process(self, img):  # pragma: no cover - batched path should win
+        raise AssertionError("per-image process called with batcher on")
+
+    def process_batch(self, imgs, chunk_size=8):
+        self.batch_calls.append(len(imgs))
+        time.sleep(0.02)
+        return [{"montage": np.full((8, 48, 3), 7, np.uint8)}
+                for _ in imgs]
+
+
+def test_http_vehicle_endpoint_coalesces():
+    """Concurrent /Vehicle_Resolution_GFPGAN/ requests share
+    process_batch calls through the list-mode batcher."""
+    from http.server import ThreadingHTTPServer
+    from image_restoration_tpu.serve.api import (ServiceCore,
+                                                 make_stdlib_handler)
+
+    stub = _StubRestorer()
+    pipe = _StubPipeline(stub)
+    core = ServiceCore(pipeline=pipe, restorer=stub, microbatch=8,
+                       microbatch_wait_ms=100.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_stdlib_handler(core))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img = (np.random.default_rng(0).random((20, 30, 3)) * 255)
+        ok, buf = cv2.imencode(".jpg", img.astype(np.uint8))
+        results, errs = [], []
+
+        def post():
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/Vehicle_Resolution_GFPGAN/",
+                    data=buf.tobytes(),
+                    headers={"Content-Type": "application/octet-stream"})
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    results.append(resp.read())
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        threads = [threading.Thread(target=post) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs
+        assert len(results) == 6
+        for r in results:
+            out = cv2.imdecode(np.frombuffer(r, np.uint8), cv2.IMREAD_COLOR)
+            assert out.shape == (8, 48, 3) and (out == 7).all()
+        assert sum(pipe.batch_calls) == 6
+        assert len(pipe.batch_calls) < 6  # coalesced
+    finally:
+        server.shutdown()
+        core.batcher.stop()
+        core.pipeline_batcher.stop()
