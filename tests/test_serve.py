@@ -86,6 +86,32 @@ def test_pipeline_process_batch_matches_process(pipeline, rng):
             assert (d > 0).mean() < 0.05, f"{k}: {(d > 0).mean():.3f} differ"
 
 
+def test_run_pipeline_cli(pipeline, rng, tmp_path):
+    """scripts/run_pipeline.py batch CLI over a glob, injected pipeline."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from run_pipeline import main as run_main
+    finally:
+        sys.path.pop(0)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        img = (rng.random((80, 120, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(src / f"im{i}.jpg"), img)
+    out = tmp_path / "out"
+    results = run_main(["--input", str(src / "*.jpg"),
+                        "--output", str(out), "--chunk", "2",
+                        "--save", "montage,pasted"],
+                       pipeline=pipeline)
+    assert len(results) == 3
+    t = pipeline.TARGET
+    for i in range(3):
+        m = cv2.imread(str(out / f"im{i}_montage.png"))
+        assert m.shape == (t, 6 * t, 3)
+        assert (out / f"im{i}_pasted.png").exists()
+
+
 def test_http_server_roundtrip(pipeline, rng):
     core = ServiceCore(pipeline=pipeline)
     from http.server import ThreadingHTTPServer
