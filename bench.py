@@ -234,6 +234,15 @@ def echo_artifacts():
             log(f"RRDB-23 x4 528² serving best: {best['tiles_per_sec']} "
                 f"tiles/s ({best['mode']}, bs={best['bs']}) "
                 f"[measured {d['date']}]")
+    vb = os.path.join(ASSETS, "video_bench.json")
+    if os.path.isfile(vb):
+        d = json.load(open(vb))
+        parts = [f"{k} {v['frames_per_s']} f/s"
+                 for k, v in d.items() if isinstance(v, dict)
+                 and "frames_per_s" in v]
+        if parts:
+            log(f"VIDEO SR serving ({d['geometry']}): "
+                + ", ".join(parts) + f" [measured {d['date']}]")
 
 
 def main():

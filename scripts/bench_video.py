@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Video-SR serving throughput: BasicVSR / IconVSR (recurrent) and EDVR
+(sliding-window) frames/s on the real chip.
+
+The reference serves video SR through the same torch archs
+(basicsr/archs/basicvsr_arch.py, edvr_arch.py) it trains; it publishes no
+throughput numbers. This measures the TPU serving shapes:
+
+  * BasicVSR/IconVSR: one clip forward (N=1, T frames, 180x320, REDS
+    eval geometry) -> x4. The time recurrences are nn.scan'd, so compile
+    time is O(1) in T and the whole clip is ONE dispatch.
+  * EDVR-M (5-frame window, w/ TSA): batched sliding windows
+    (N windows, 5, 180, 320) -> one center frame each.
+
+Timing per bench.py conventions: on-chip lax.scan with data dependency,
+params/inputs as jit arguments, min over repeats. Speed-only (random
+weights — parity is covered by the imported-weight goldens); outputs
+damped into the scan carry to keep bf16 finite.
+
+Writes docs/assets/video_bench.json; bench.py echoes it if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from bench import guard_backend, onchip_ms, log
+from image_restoration_tpu.archs import build_network
+
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "assets")
+
+H, W = 180, 320  # REDS eval geometry (x4 -> 720x1280)
+
+
+def bench_recurrent(name, T=15, dtype=jnp.bfloat16, iters=5):
+    net = build_network(dict(type=name, num_feat=64, num_block=30 if
+                             name == "BasicVSR" else 15, dtype=dtype))
+    x = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
+    clip = jnp.asarray(np.random.default_rng(0).random(
+        (1, T, H, W, 3), np.float32))
+
+    def fwd(p, xx):
+        return net.apply({"params": p}, xx) * 1e-3  # damp the scan carry
+
+    ms = onchip_ms(fwd, params, clip, iters=iters, repeats=3)
+    fps = T / (ms / 1e3)
+    log(f"{name} T={T} {H}x{W} x4 ({dtype.__name__}): {ms:.1f} ms/clip "
+        f"= {fps:.1f} frames/s")
+    return {"ms_per_clip": round(ms, 2), "frames_per_s": round(fps, 1),
+            "T": T}
+
+
+def bench_edvr(n_windows=4, dtype=jnp.bfloat16, iters=5):
+    # EDVR-M: 64 feat, 5 frames, 10 front + 10 back blocks, TSA
+    net = build_network(dict(type="EDVR", num_feat=64, num_frame=5,
+                             deformable_groups=8, num_extract_block=5,
+                             num_reconstruct_block=10, with_tsa=True,
+                             dtype=dtype))
+    x = jnp.zeros((n_windows, 5, H, W, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
+    wins = jnp.asarray(np.random.default_rng(0).random(
+        (n_windows, 5, H, W, 3), np.float32))
+
+    def fwd(p, xx):
+        return net.apply({"params": p}, xx) * 1e-3
+
+    ms = onchip_ms(fwd, params, wins, iters=iters, repeats=3)
+    fps = n_windows / (ms / 1e3)  # one output frame per window
+    log(f"EDVR-M 5x{H}x{W} x4 bs={n_windows} ({dtype.__name__}): "
+        f"{ms:.1f} ms = {fps:.1f} frames/s")
+    return {"ms_per_batch": round(ms, 2), "frames_per_s": round(fps, 1),
+            "windows": n_windows}
+
+
+def main():
+    guard_backend()
+    log(f"devices: {jax.devices()}")
+    out = {"date": time.strftime("%Y-%m-%d"),
+           "geometry": f"{H}x{W} -> x4 (REDS eval shape)",
+           "note": "on-chip scan timing, random weights (speed only; "
+                   "parity via imported-weight goldens)"}
+    out["basicvsr"] = bench_recurrent("BasicVSR", T=15)
+    out["iconvsr"] = bench_recurrent("IconVSR", T=15)
+    out["edvr_m"] = bench_edvr(n_windows=4)
+    os.makedirs(ASSETS, exist_ok=True)
+    path = os.path.join(ASSETS, "video_bench.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+    print(json.dumps({"metric": "basicvsr_frames_per_s",
+                      "value": out["basicvsr"]["frames_per_s"],
+                      "unit": "180x320_x4_frames/s"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
