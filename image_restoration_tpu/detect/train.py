@@ -29,7 +29,15 @@ class DetectorTrainer:
                  lr: float = 1e-3, momentum: float = 0.9,
                  weight_decay: float = 5e-4,
                  resnet_pretrain_path: Optional[str] = None,
-                 decay_steps=(), total_steps: int = 10000):
+                 decay_steps=(), total_steps: int = 10000,
+                 data_parallel: int = 0):
+        """data_parallel=N shards the train batch over the first N local
+        devices (params replicated, batch split on a 1-D mesh) — the
+        jax.sharding analog of the reference's nn.DataParallel wrap
+        (Plate_Detect/Retina-License-Plate/train.py:78-79). BatchNorm
+        stats and the loss reduce over the GLOBAL batch (GSPMD inserts
+        the collectives for the batch-axis means), so DP numerics match
+        single-device up to reduction order. Batch must divide by N."""
         self.cfg = get_cfg(backbone)
         self.image_size = image_size
         self.net = build_network(dict(type="RetinaFace", backbone=backbone,
@@ -63,6 +71,21 @@ class DetectorTrainer:
             "opt": self.tx.init(variables["params"]),
             "step": 0,
         }
+        self.data_parallel = int(data_parallel or 0)
+        self._data_sharding = None
+        if self.data_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            if self.data_parallel > len(jax.devices()):
+                raise ValueError(
+                    f"data_parallel={self.data_parallel} > "
+                    f"{len(jax.devices())} devices")
+            mesh = Mesh(np.asarray(jax.devices()[:self.data_parallel]),
+                        ("data",))
+            repl = NamedSharding(mesh, P())
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            # replicate everything but the python step counter
+            self.state = {k: (v if k == "step" else jax.device_put(v, repl))
+                          for k, v in self.state.items()}
         self._train_step = self._build_step()
         self.logger = get_root_logger()
 
@@ -98,8 +121,12 @@ class DetectorTrainer:
         return step
 
     def train_step(self, images: np.ndarray, targets: np.ndarray):
-        self.state, losses = self._train_step(
-            self.state, jnp.asarray(images), jnp.asarray(targets))
+        images = jnp.asarray(images)
+        targets = jnp.asarray(targets)
+        if self._data_sharding is not None:
+            images = jax.device_put(images, self._data_sharding)
+            targets = jax.device_put(targets, self._data_sharding)
+        self.state, losses = self._train_step(self.state, images, targets)
         return {k: float(v) for k, v in losses.items()}
 
     def fit(self, dataset, epochs: int, batch_size: int = 24,
@@ -140,6 +167,10 @@ class DetectorTrainer:
                               {"params": self.state["params"],
                                "batch_stats": self.state["batch_stats"]})
         restored = ckptr.restore(osp.abspath(path), target)
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(self._data_sharding.mesh, P())
+            restored = jax.device_put(restored, repl)
         self.state["params"] = restored["params"]
         self.state["batch_stats"] = restored["batch_stats"]
 

@@ -157,6 +157,43 @@ def test_detector_lr_schedule_follows_state_step():
     np.testing.assert_allclose(after / before, 0.1, rtol=1e-3)
 
 
+def test_detector_trainer_data_parallel_matches_single():
+    """DP detector training (batch sharded over the 8-device mesh, params
+    replicated — the reference's nn.DataParallel analog) matches the
+    single-device step. One step is compared: losses are reduction-order
+    tight (~1e-6 rel), which proves the BatchNorm batch-axis means and
+    the loss reductions are GLOBAL over the sharded batch. Params get a
+    looser bound because hard-negative mining's top-k can swap anchors
+    whose conf losses differ by <1e-6 — a swap leaves the loss equal but
+    moves O(1) gradient between anchors (the reference's nn.DataParallel
+    is chaotic in exactly the same way), so multi-step trajectories are
+    not comparable elementwise."""
+    from image_restoration_tpu.detect.train import DetectorTrainer
+
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((8, 64, 64, 3)).astype(np.float32) * 10
+    targets = np.zeros((8, 4, 15), np.float32)
+    targets[:, 0, :4] = [0.25, 0.3, 0.7, 0.65]
+    targets[:, 0, 4:14] = np.tile([0.4, 0.4], 5)
+    targets[:, 0, 14] = 1.0
+
+    kw = dict(backbone="mobilenet0.25", image_size=64, lr=1e-2,
+              decay_steps=[100])
+    single = DetectorTrainer(**kw)
+    dp = DetectorTrainer(**kw, data_parallel=8)
+
+    ls = single.train_step(images, targets)
+    ld = dp.train_step(images, targets)
+    for k in ls:
+        np.testing.assert_allclose(ld[k], ls[k], rtol=2e-5, err_msg=k)
+    for name, bound in (("params", 5e-3), ("batch_stats", 1e-4)):
+        leaves_s = jax.tree.leaves(jax.device_get(single.state[name]))
+        leaves_d = jax.tree.leaves(jax.device_get(dp.state[name]))
+        worst = max(float(np.max(np.abs(a - b))) for a, b in
+                    zip(leaves_s, leaves_d))
+        assert worst < bound, f"{name} diverged: {worst}"
+
+
 def test_plate_detector_engine(rng):
     from image_restoration_tpu.detect.engine import PlateDetector
     det = PlateDetector(backbone="Resnet18", image_size=64,
