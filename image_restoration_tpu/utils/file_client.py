@@ -123,10 +123,85 @@ class _LmdbBackend:
         return [k.decode("ascii") for k in self._dbs[client_key].keys()]
 
 
+class _TextProtocolMemcached:
+    """Dependency-free memcached client speaking the standard text
+    protocol over stdlib sockets (``get <key>`` →
+    ``VALUE <key> <flags> <bytes>\\r\\n<data>\\r\\nEND\\r\\n``).
+
+    Used when the reference's proprietary `mc` binding is absent, in the
+    same spirit as the from-scratch LMDB reader (`lmdb_util.py`): the
+    backend works against any real memcached server instead of being
+    import-gated. `server_list` is the parsed server_list_cfg — one
+    ``host:port`` per line, as the reference's petrel-style config files
+    carry. Multiple servers are sharded by md5(key) (deterministic;
+    single-server deployments — the common case — are hashing-agnostic).
+    """
+
+    def __init__(self, server_list):
+        if not server_list:
+            raise ValueError("server_list_cfg names no servers")
+        self._servers = server_list
+        self._socks = [None] * len(server_list)
+
+    def _sock(self, idx):
+        import socket
+        if self._socks[idx] is None:
+            host, _, port = self._servers[idx].rpartition(":")
+            s = socket.create_connection((host, int(port)), timeout=30)
+            self._socks[idx] = (s, s.makefile("rb"))
+        return self._socks[idx]
+
+    def _shard(self, key: str) -> int:
+        if len(self._servers) == 1:
+            return 0
+        import hashlib
+        return int.from_bytes(
+            hashlib.md5(key.encode()).digest()[:4], "big") % len(self._servers)
+
+    def get(self, key: str) -> Optional[bytes]:
+        idx = self._shard(key)
+        for attempt in range(2):  # one reconnect on a stale socket
+            sock, rfile = self._sock(idx)
+            try:
+                sock.sendall(f"get {key}\r\n".encode())
+                header = rfile.readline()
+            except OSError:
+                self._close(idx)
+                if attempt:
+                    raise
+                continue
+            if header.startswith(b"END"):
+                return None
+            if not header.startswith(b"VALUE "):
+                self._close(idx)
+                raise ConnectionError(
+                    f"memcached protocol error: {header[:80]!r}")
+            nbytes = int(header.split()[3])
+            data = rfile.read(nbytes)
+            rfile.read(2)            # trailing \r\n
+            tail = rfile.readline()  # END\r\n
+            if not tail.startswith(b"END"):
+                self._close(idx)
+                raise ConnectionError(
+                    f"memcached protocol error: {tail[:80]!r}")
+            return data
+        return None
+
+    def _close(self, idx):
+        if self._socks[idx] is not None:
+            try:
+                self._socks[idx][0].close()
+            except OSError:
+                pass
+            self._socks[idx] = None
+
+
 class _MemcachedBackend:
-    """Memcached read backend (ref file_client.py:19-55): gated on the
-    proprietary `mc` client the reference also requires; configs that name
-    it fail with the same actionable ImportError instead of a KeyError."""
+    """Memcached read backend (ref file_client.py:19-55). Prefers the
+    reference's proprietary `mc` binding when importable (reference-exact
+    path); otherwise falls back to the built-in text-protocol client
+    above, so configs naming this backend work against any standard
+    memcached server instead of failing on an import gate."""
 
     def __init__(self, server_list_cfg: str, client_cfg: str,
                  sys_path: Optional[str] = None):
@@ -136,14 +211,32 @@ class _MemcachedBackend:
         try:
             import mc
         except ImportError:
-            raise ImportError(
-                "Please install memcached to enable MemcachedBackend.")
+            servers = []
+            try:
+                with open(server_list_cfg) as f:
+                    servers = [ln.strip() for ln in f
+                               if ln.strip() and ":" in ln]
+            except OSError:
+                pass
+            if not servers:
+                raise ImportError(
+                    "Please install memcached to enable MemcachedBackend "
+                    "(or point server_list_cfg at a host:port list for "
+                    "the built-in text-protocol client).")
+            self._mc = None
+            self._client = _TextProtocolMemcached(servers)
+            return
         self._mc = mc
         self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
                                                       client_cfg)
         self._mc_buffer = mc.pyvector()
 
     def get(self, filepath: str) -> bytes:
+        if self._mc is None:
+            value = self._client.get(str(filepath))
+            if value is None:
+                raise KeyError(f"key {filepath!r} not found in memcached")
+            return value
         self._client.Get(str(filepath), self._mc_buffer)
         return self._mc.ConvertBuffer(self._mc_buffer)
 

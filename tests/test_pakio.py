@@ -105,3 +105,69 @@ def test_lmdb_through_dataset_path(tmp_path):
     assert item["gt"].shape == (20, 24, 3)
     want = cv2.imread(str(src / "plate_2.png"))[..., ::-1] / 255.0
     np.testing.assert_allclose(item["gt"], want, atol=1e-6)
+
+
+class _FakeMemcachedServer:
+    """In-process memcached server speaking the standard text protocol
+    (the subset the read backend uses: `get`). Serves a dict."""
+
+    def __init__(self, store):
+        import socket, threading
+        self.store = store
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._stop = False
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            with conn, conn.makefile("rb") as rfile:
+                while True:
+                    line = rfile.readline()
+                    if not line:
+                        break
+                    parts = line.split()
+                    if parts[:1] != [b"get"]:
+                        conn.sendall(b"ERROR\r\n")
+                        continue
+                    out = b""
+                    for key in parts[1:]:
+                        data = self.store.get(key.decode())
+                        if data is not None:
+                            out += (b"VALUE %s 0 %d\r\n%s\r\n"
+                                    % (key, len(data), data))
+                    conn.sendall(out + b"END\r\n")
+
+    def close(self):
+        self._stop = True
+        self._srv.close()
+
+
+def test_memcached_backend_text_protocol(tmp_path, rng):
+    """FileClient('memcached') against a real socket server: the
+    dependency-free text-protocol client (used when the reference's `mc`
+    binding is absent) round-trips binary values, including ones
+    containing \\r\\n, and raises KeyError on a miss."""
+    store = {
+        "img_001.png": rng.integers(0, 256, 4096).astype(np.uint8).tobytes(),
+        "crlf": b"head\r\nEND\r\ntail" * 7,
+        "empty": b"",
+    }
+    server = _FakeMemcachedServer(store)
+    try:
+        cfg = tmp_path / "server_list.conf"
+        cfg.write_text(f"127.0.0.1:{server.port}\n")
+        client = FileClient("memcached", server_list_cfg=str(cfg),
+                            client_cfg=str(tmp_path / "client.conf"))
+        for key, data in store.items():
+            assert client.get(key) == data
+        assert client.get("img_001.png") == store["img_001.png"]  # reuse conn
+        with pytest.raises(KeyError):
+            client.get("missing_key")
+    finally:
+        server.close()
