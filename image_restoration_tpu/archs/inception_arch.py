@@ -2,8 +2,14 @@
 
 Parity with basicsr/archs/inception.py:17-307 (the pt_inception FID port):
 the standard torchvision InceptionV3 block layout (A/B/C/D/E) with the FID
-pooled 2048-d feature output. Weights import from a torchvision/pt_inception
-state_dict .pth via the generic converter.
+pooling patches — the pool branch of A/C/E_1 is a TensorFlow-style average
+pool that EXCLUDES the zero padding from its divisor
+(count_include_pad=False, ref inception.py:205-208,230-233,262-265) and
+the second E block (Mixed_7c) uses a MAX pool there
+(ref inception.py:295-300) — and the FID pooled 2048-d feature output.
+Weights import from a torchvision/pt_inception state_dict .pth via the
+generic converter; architecture golden vs the reference torch net at
+random imported weights in tests/test_inception_golden.py.
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ class InceptionA(nn.Module):
                          name="branch3x3dbl_2", dtype=self.dtype)(b3, train)
         b3 = BasicConv2d(96, (3, 3), padding=_pad((3, 3)),
                          name="branch3x3dbl_3", dtype=self.dtype)(b3, train)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool",
                          dtype=self.dtype)(bp, train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
@@ -107,7 +114,8 @@ class InceptionC(nn.Module):
                          name="branch7x7dbl_4", dtype=self.dtype)(bd, train)
         bd = BasicConv2d(192, (1, 7), padding=_pad((1, 7)),
                          name="branch7x7dbl_5", dtype=self.dtype)(bd, train)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         bp = BasicConv2d(192, (1, 1), name="branch_pool",
                          dtype=self.dtype)(bp, train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
@@ -135,6 +143,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # FIDInceptionE_2 (Mixed_7c) uses a max pool in the pool branch
+    # (ref inception.py:295-300); E_1 (Mixed_7b) the TF-style avg pool.
+    pool_max: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -157,7 +168,13 @@ class InceptionE(nn.Module):
         bdb = BasicConv2d(384, (3, 1), padding=_pad((3, 1)),
                           name="branch3x3dbl_3b", dtype=self.dtype)(bd, train)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        if self.pool_max:
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1),
+                             padding=((1, 1), (1, 1)))
+        else:
+            bp = nn.avg_pool(x, (3, 3), strides=(1, 1),
+                             padding=((1, 1), (1, 1)),
+                             count_include_pad=False)
         bp = BasicConv2d(192, (1, 1), name="branch_pool",
                          dtype=self.dtype)(bp, train)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
@@ -197,5 +214,5 @@ class InceptionV3(nn.Module):
         x = InceptionC(192, name="Mixed_6e", dtype=d)(x, train)
         x = InceptionD(name="Mixed_7a", dtype=d)(x, train)
         x = InceptionE(name="Mixed_7b", dtype=d)(x, train)
-        x = InceptionE(name="Mixed_7c", dtype=d)(x, train)
+        x = InceptionE(pool_max=True, name="Mixed_7c", dtype=d)(x, train)
         return jnp.mean(x, axis=(1, 2))  # (N, 2048)

@@ -226,6 +226,12 @@ def install_stubs():
         tv.models = tvm
         tvm.vgg = types.SimpleNamespace(vgg19=_vgg19)
         tvm.VGG19_Weights = types.SimpleNamespace(DEFAULT=None)
+        # plain-torch inception blocks so the reference FID backbone
+        # (basicsr/archs/inception.py) is constructible at random init
+        import tv_inception_stub as _tvi
+        tvm.inception = _tvi
+        tvm.inception_v3 = _tvi.inception_v3
+        sys.modules["torchvision.models.inception"] = _tvi
         tvt = pkg("torchvision.transforms")
         tvf = pkg("torchvision.transforms.functional_tensor")
         tvf.rgb_to_grayscale = lambda x: (
