@@ -220,3 +220,24 @@ def test_vgg16_feature_extractor_taps():
     assert out["relu1_2"].shape == (1, 64, 64, 64)
     assert out["relu3_3"].shape == (1, 16, 16, 256)
     assert out["relu5_3"].shape == (1, 4, 4, 512)
+
+
+def test_calculate_fid_golden_vs_reference():
+    """Fréchet-distance math golden vs the reference's calculate_fid
+    (basicsr/metrics/fid.py:50-80) on random non-diagonal Gaussians,
+    plus the FID(X, X) = 0 identity."""
+    from ref_loader import load_ref_module
+    ref = load_ref_module("metrics.fid")
+    from image_restoration_tpu.metrics.fid import calculate_fid
+
+    rng = np.random.default_rng(3)
+    d = 32
+    for trial in range(3):
+        mu1, mu2 = rng.normal(size=(2, d))
+        a = rng.normal(size=(d, d + 4))
+        b = rng.normal(size=(d, d + 4))
+        s1, s2 = a @ a.T / d, b @ b.T / d
+        want = float(ref.calculate_fid(mu1, s1, mu2, s2))
+        got = float(calculate_fid(mu1, s1, mu2, s2))
+        assert abs(want - got) <= 1e-9 * max(1.0, abs(want)), (want, got)
+    assert abs(float(calculate_fid(mu1, s1, mu1, s1))) < 1e-6
