@@ -87,12 +87,30 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
     def bail(why):
         log(f"FATAL: {why}")
         if emit_error_json:
-            print(json.dumps({
+            out = {
                 "metric": "tiles_per_s_per_chip", "value": 0.0,
                 "unit": "512px_x4_tiles/s", "vs_baseline": 0.0,
                 "error": why + "; last live-measured results are in "
                          "docs/assets/*.json and BENCH_r02.json",
-            }), flush=True)
+            }
+            # carry the last LIVE-measured headline so the record is not a
+            # bare zero (value stays 0 — nothing was measured THIS run)
+            here = os.path.dirname(os.path.abspath(__file__))
+            for cand, key in (
+                    (os.path.join(here, "docs/assets/last_headline.json"),
+                     None),
+                    (os.path.join(here, "BENCH_r02.json"), "parsed")):
+                try:
+                    with open(cand) as f:
+                        rec = json.load(f)
+                    rec = rec[key] if key else rec
+                    out["last_measured"] = rec["value"]
+                    out["last_measured_metric"] = rec["metric"]
+                    out["last_measured_vs_baseline"] = rec["vs_baseline"]
+                    break
+                except Exception:
+                    continue
+            print(json.dumps(out), flush=True)
         os._exit(2)
 
     def fire(signum, frame):
@@ -330,6 +348,14 @@ def main():
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
     }
     print(json.dumps(result), flush=True)
+    try:
+        import datetime
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs/assets/last_headline.json"), "w") as f:
+            json.dump(dict(result, measured_at=datetime.datetime.now()
+                           .isoformat(timespec="seconds")), f)
+    except Exception as e:
+        log(f"could not persist last_headline.json: {e}")
 
     # ---- diagnostics (after the headline JSON: a timeout here must not
     # lose the result). The artifact echo is pure file reads — do it
