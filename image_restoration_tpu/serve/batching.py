@@ -147,7 +147,10 @@ class MicroBatcher:
                         "items")
         except Exception as exc:  # fan the failure out to every caller
             for f in futs:
-                f.set_exception(exc)
+                try:
+                    f.set_exception(exc)
+                except Exception:
+                    pass  # caller cancelled; must not kill the dispatcher
             return
         self.stats["items"] += n
         self.stats["dispatches"] += 1
@@ -155,4 +158,7 @@ class MicroBatcher:
         hist = self.stats["batch_hist"]
         hist[bucket] = hist.get(bucket, 0) + 1
         for f, o in zip(futs, out):
-            f.set_result(o)
+            try:
+                f.set_result(o)
+            except Exception:
+                pass  # caller cancelled; must not kill the dispatcher

@@ -253,3 +253,17 @@ def test_http_vehicle_endpoint_coalesces():
         server.shutdown()
         core.batcher.stop()
         core.pipeline_batcher.stop()
+
+
+def test_cancelled_future_does_not_kill_dispatcher():
+    """A caller that cancels its Future (gave up waiting) must not crash
+    the dispatcher thread — later requests still get served."""
+    batch_fn, _ = make_recorder(delay_s=0.05)
+    b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=1.0)
+    doomed = b.submit(np.zeros((2, 2), np.float32))
+    doomed.cancel()  # races the dispatch; either way it must be survivable
+    for _ in range(3):
+        out = b.submit(np.ones((2, 2), np.float32)).result(timeout=10)
+        np.testing.assert_allclose(out, 2.0)
+    assert b._thread.is_alive()
+    b.stop()
