@@ -87,6 +87,12 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
     def bail(why):
         log(f"FATAL: {why}")
         if emit_error_json:
+            try:
+                # the round's live-measured artifacts still belong in the
+                # recorded tail even when this run cannot touch the chip
+                echo_artifacts()
+            except Exception:
+                pass
             out = {
                 "metric": "tiles_per_s_per_chip", "value": 0.0,
                 "unit": "512px_x4_tiles/s", "vs_baseline": 0.0,
