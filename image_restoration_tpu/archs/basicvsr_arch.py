@@ -105,7 +105,9 @@ class BasicVSR(nn.Module):
 
         scan_bwd = nn.scan(bwd_body, variable_broadcast="params",
                            split_rngs={"params": False})
-        init = jnp.zeros((n, h, w, self.num_feat), x.dtype)
+        # carry dtype must equal the trunk OUTPUT dtype or nn.scan rejects
+        # the loop (bf16 serving: trunk emits bf16 while x stays f32)
+        init = jnp.zeros((n, h, w, self.num_feat), self.dtype or x.dtype)
         # reversed time: step j=0 is frame t-1 (dummy flow), then
         # flows_backward[t-2] ... flows_backward[0]
         _, out_bwd_rev = scan_bwd(

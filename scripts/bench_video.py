@@ -85,15 +85,27 @@ def bench_edvr(n_windows=4, dtype=jnp.bfloat16, iters=5):
 
 
 def main():
+    tiny = "--tiny" in sys.argv  # CPU sanity: shake out crashes before
+    if tiny:                     # spending a live-chip window on this
+        jax.config.update("jax_platforms", "cpu")
+        global H, W
+        H, W = 64, 96  # SpyNet's 5-level pyramid needs >=64
     guard_backend()
     log(f"devices: {jax.devices()}")
     out = {"date": time.strftime("%Y-%m-%d"),
            "geometry": f"{H}x{W} -> x4 (REDS eval shape)",
            "note": "on-chip scan timing, random weights (speed only; "
                    "parity via imported-weight goldens)"}
-    out["basicvsr"] = bench_recurrent("BasicVSR", T=15)
-    out["iconvsr"] = bench_recurrent("IconVSR", T=15)
-    out["edvr_m"] = bench_edvr(n_windows=4)
+    T = 3 if tiny else 15
+    out["basicvsr"] = bench_recurrent("BasicVSR", T=T,
+                                      iters=2 if tiny else 5)
+    out["iconvsr"] = bench_recurrent("IconVSR", T=T,
+                                     iters=2 if tiny else 5)
+    out["edvr_m"] = bench_edvr(n_windows=1 if tiny else 4,
+                               iters=2 if tiny else 5)
+    if tiny:
+        log("tiny CPU sanity only — NOT writing video_bench.json")
+        return
     os.makedirs(ASSETS, exist_ok=True)
     path = os.path.join(ASSETS, "video_bench.json")
     with open(path, "w") as f:
