@@ -14,12 +14,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import threading
 import time
 from types import SimpleNamespace
 
 import numpy as np
 import cv2
+
+# invoked as `python scripts/bench_microbatch.py` — put the repo root on
+# sys.path (sys.path[0] is scripts/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_mode(core, img_bgr, clients: int, per_client: int):
@@ -61,6 +67,12 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="64² generator for CPU sanity runs")
     args = ap.parse_args()
+
+    if args.tiny:
+        # CPU sanity must not touch (or hang on) the axon tunnel; the
+        # plugin overrides JAX_PLATFORMS, so force cpu post-import
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from image_restoration_tpu.infer import Restorer, PRODUCTION_GFPGAN
     from image_restoration_tpu.serve.api import ServiceCore
