@@ -50,6 +50,32 @@ def test_resize_with_padding(rng):
     assert out[0].sum() == 0 and out[-1].sum() == 0
 
 
+def test_finish_one_paste_semantics(pipeline, rng):
+    """The cv2.copyTo paste must equal the reference's boolean-mask paste
+    (api_plate_oto.py:455-466 pastes warped-plate pixels where the quad
+    polygon mask is set, car pixels elsewhere)."""
+    import cv2
+
+    t = pipeline.TARGET
+    canvas = (rng.random((t, t, 3)) * 255).astype(np.uint8)
+    plate = (rng.random((t, t, 3)) * 255).astype(np.uint8)
+    car = (rng.random((t, t, 3)) * 255).astype(np.uint8)
+    quad = np.array([[t // 6, t // 3], [5 * t // 6, t // 4],
+                     [4 * t // 5, 2 * t // 3], [t // 7, 3 * t // 4]],
+                    np.int32)
+    crop = canvas[t // 4: 3 * t // 4, t // 6: 5 * t // 6].copy()
+    got = pipeline._finish_one(canvas, quad, 0.9, True, crop, plate, car)
+
+    pst1 = np.float32([[0, 0], [t, 0], [t, t], [0, t]])
+    matrix = cv2.getPerspectiveTransform(pst1, quad.astype(np.float32))
+    plate_warp = cv2.warpPerspective(plate, matrix, (t, t))
+    mask = np.zeros((t, t), np.uint8)
+    cv2.fillPoly(mask, [quad], 255)
+    want = car.copy()
+    want[mask > 0] = plate_warp[mask > 0]
+    np.testing.assert_array_equal(got["pasted"], want)
+
+
 def test_pipeline_process(pipeline, rng):
     img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
     result = pipeline.process(img)
