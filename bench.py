@@ -65,6 +65,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_GUARDED = False
+
+
 def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
                   emit_error_json=False):
     """Fail fast instead of hanging when the axon tunnel daemon is dead.
@@ -81,6 +84,13 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
     artifacts under docs/assets/) so the failure is machine-readable rather
     than an empty record.
     """
+    global _GUARDED
+    if _GUARDED:
+        # already probed + watchdog armed this process (the queued-
+        # measurements phase re-enters via the scripts' own main()s;
+        # re-arming alarm(3600) here would defeat the queue budget)
+        return
+
     import signal
     import threading
 
@@ -143,6 +153,7 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
              f"{probe_timeout_s}s (axon tunnel daemon likely dead)")
     if isinstance(outcome[0], Exception):
         bail(f"backend probe raised: {outcome[0]!r}")
+    _GUARDED = True
 
 
 def onchip_ms(apply_fn, params, x, iters=ITERS, repeats=3):
@@ -200,7 +211,17 @@ def echo_artifacts():
     so BENCH_r{N}.json's tail carries them (they are produced on this same
     chip by scripts/bench_train.py, bench_e2e.py, bench_rrdb.py — heavy
     compiles, so they are not re-measured on every default bench run; each
-    line carries its measurement date)."""
+    line carries its measurement date). Each echo is independently guarded:
+    one partial/stale artifact must not silence the rest of the tail."""
+    for section in (_echo_train, _echo_convergence, _echo_e2e, _echo_ptq,
+                    _echo_rrdb, _echo_microbatch, _echo_video):
+        try:
+            section()
+        except Exception as e:
+            log(f"artifact echo {section.__name__} failed: {e!r}")
+
+
+def _echo_train():
     tb = os.path.join(ASSETS, "train_bench.json")
     if os.path.isfile(tb):
         d = json.load(open(tb))
@@ -222,6 +243,9 @@ def echo_artifacts():
                 f"{ref_bs['imgs_per_sec']} imgs/s at the reference bs=24 "
                 f"budget, {best['imgs_per_sec']} at bs={best['bs']} "
                 f"[measured {d['detector_step']['date']}]")
+
+
+def _echo_convergence():
     for kind in ("sr", "gfpgan"):
         cv = os.path.join(ASSETS, f"train_convergence_{kind}.json")
         if os.path.isfile(cv):
@@ -231,6 +255,9 @@ def echo_artifacts():
                 f"{c['val_psnr'][0]} → {c['val_psnr'][-1]} dB over "
                 f"{d['total_iters']} iters on real crops "
                 f"[measured {d['date']}]")
+
+
+def _echo_e2e():
     e2e = os.path.join(ASSETS, "e2e_latency.json")
     if os.path.isfile(e2e):
         d = json.load(open(e2e))
@@ -240,6 +267,14 @@ def echo_artifacts():
             f"{e['fused_bs2_restore']} ms/img fused-bs2, "
             f"{e['batched_n8']} ms/img batched-n8 "
             f"[measured {d['date']}, host+on-chip split]")
+    pb = d.get("process_batch_real_wall_ms_per_image")
+    if pb and "batched_chunk8" in pb:
+        log(f"E2E process_batch wall: {pb['batched_chunk8']} ms/img "
+            f"chunk=8 vs {pb['per_image']} ms/img per-image "
+            f"[measured {d['date']}]")
+
+
+def _echo_ptq():
     gq = os.path.join(ASSETS, "gfpgan_ptq.json")
     if os.path.isfile(gq):
         d = json.load(open(gq))
@@ -250,6 +285,9 @@ def echo_artifacts():
                     f"{row['dyn-int8']['imgs_per_sec']} imgs/s "
                     f"({d['quality_db_vs_f32']} dB gate) "
                     f"[measured {d['date']}]")
+
+
+def _echo_rrdb():
     rl = os.path.join(ASSETS, "rrdb_ladder.json")
     if os.path.isfile(rl):
         d = json.load(open(rl))
@@ -258,6 +296,24 @@ def echo_artifacts():
             log(f"RRDB-23 x4 528² serving best: {best['tiles_per_sec']} "
                 f"tiles/s ({best['mode']}, bs={best['bs']}) "
                 f"[measured {d['date']}]")
+
+
+def _echo_microbatch():
+    mb = os.path.join(ASSETS, "microbatch_bench.json")
+    if os.path.isfile(mb):
+        d = json.load(open(mb))
+        r = d.get("results", {})
+        if "per_request" in r and "microbatch" in r:
+            log(f"SERVE micro-batching ({d.get('clients')} clients, "
+                f"GFPGAN 256²): per-request "
+                f"{r['per_request']['imgs_per_s']:.1f} imgs/s → coalesced "
+                f"{r['microbatch']['imgs_per_s']:.1f} imgs/s "
+                f"({d.get('speedup')}×, p95 "
+                f"{r['microbatch']['lat_p95_ms']:.0f} ms) "
+                f"[measured {d['date']}]")
+
+
+def _echo_video():
     vb = os.path.join(ASSETS, "video_bench.json")
     if os.path.isfile(vb):
         d = json.load(open(vb))
@@ -267,6 +323,92 @@ def echo_artifacts():
         if parts:
             log(f"VIDEO SR serving ({d['geometry']}): "
                 + ", ".join(parts) + f" [measured {d['date']}]")
+
+
+QUEUE_BUDGET_S = 2400
+
+
+def run_queued_measurements():
+    """Opportunistically run the chip measurements queued behind the r3
+    axon tunnel outage (scripts/chip_queue.sh) inside this bench run.
+
+    Each job is one of the standalone bench scripts; each persists a
+    docs/assets/*.json artifact and is SKIPPED once that artifact exists,
+    so this phase is a no-op on a fully-measured tree. It runs only on a
+    real TPU backend, strictly after the headline JSON (a hang here costs
+    diagnostics, never the result), inside a wall-clock budget enforced by
+    SIGALRM per job.
+    """
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return
+    except Exception:
+        return
+
+    import signal
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    # the scripts import `bench` as a module (this file runs as __main__,
+    # so that's a SECOND copy); mark it guarded so their guard_backend()
+    # calls don't re-probe or re-arm the 3600s alarm over our budget
+    import bench as _bench_mod
+    _bench_mod._GUARDED = True
+
+    def missing(name, field=None):
+        path = os.path.join(ASSETS, name)
+        if not os.path.isfile(path):
+            return True
+        if field:
+            try:
+                return field not in json.load(open(path))
+            except Exception:
+                return True
+        return False
+
+    def run_script(modname):
+        mod = __import__(modname)
+        old = sys.argv
+        sys.argv = [modname + ".py"]
+        try:
+            mod.main()
+        finally:
+            sys.argv = old
+
+    jobs = []  # (label, thunk) in chip_queue.sh priority order
+    if missing("microbatch_bench.json"):
+        jobs.append(("microbatch serving",
+                     lambda: run_script("bench_microbatch")))
+    if missing("e2e_latency.json", "process_batch_real_wall_ms_per_image"):
+        jobs.append(("E2E incl. process_batch",
+                     lambda: run_script("bench_e2e")))
+    if missing("video_bench.json"):
+        jobs.append(("video SR serving", lambda: run_script("bench_video")))
+    if not jobs:
+        return
+
+    log(f"QUEUED measurements pending: {[j[0] for j in jobs]} "
+        f"(budget {QUEUE_BUDGET_S}s)")
+    deadline = time.time() + QUEUE_BUDGET_S
+    ran = False
+    for label, job in jobs:
+        remaining = deadline - time.time()
+        if remaining < 300:
+            log(f"QUEUED {label}: skipped — {remaining:.0f}s left of the "
+                f"queue budget (run scripts/chip_queue.sh standalone)")
+            continue
+        # bound a tunnel hang: alarm aborts the process, headline already out
+        signal.alarm(int(remaining) + 120)
+        log(f"QUEUED {label}: running ({remaining:.0f}s budget)")
+        try:
+            job()
+            ran = True
+        except Exception as e:
+            log(f"QUEUED {label} FAILED: {e!r}")
+    if ran:
+        signal.alarm(300)
+        echo_artifacts()  # fold the fresh numbers into this run's tail
+    signal.alarm(0)
 
 
 def main():
@@ -427,6 +569,8 @@ def main():
             f"4/8/16/32)")
     except Exception as e:
         log(f"GFPGAN diag failed: {e}")
+
+    run_queued_measurements()
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ import cv2
 # sys.path (sys.path[0] is scripts/)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "assets")
+
 
 def run_mode(core, img_bgr, clients: int, per_client: int):
     lat = []
@@ -116,6 +119,19 @@ def main():
                       "value": round(speedup, 3), "unit": "x",
                       "clients": args.clients,
                       "quant": args.quant}), flush=True)
+    if args.tiny:
+        print("tiny CPU sanity only — NOT writing microbatch_bench.json",
+              file=sys.stderr, flush=True)
+        return
+    os.makedirs(ASSETS, exist_ok=True)
+    path = os.path.join(ASSETS, "microbatch_bench.json")
+    with open(path, "w") as f:
+        json.dump({"date": time.strftime("%Y-%m-%d"),
+                   "clients": args.clients, "per_client": args.per_client,
+                   "max_batch": args.max_batch, "wait_ms": args.wait_ms,
+                   "quant": args.quant, "speedup": round(speedup, 3),
+                   "results": results}, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
