@@ -58,6 +58,7 @@ TILE = 512
 BS = 8
 ITERS = 20
 QUALITY_GATE_DB = 30.0
+HALO_GATE_DB = 35.0
 NUM_CONV = 32
 
 
@@ -213,8 +214,9 @@ def echo_artifacts():
     compiles, so they are not re-measured on every default bench run; each
     line carries its measurement date). Each echo is independently guarded:
     one partial/stale artifact must not silence the rest of the tail."""
-    for section in (_echo_train, _echo_convergence, _echo_e2e, _echo_ptq,
-                    _echo_rrdb, _echo_microbatch, _echo_video):
+    for section in (_echo_train, _echo_convergence, _echo_detector_conv,
+                    _echo_e2e, _echo_ptq, _echo_rrdb, _echo_microbatch,
+                    _echo_video):
         try:
             section()
         except Exception as e:
@@ -255,6 +257,19 @@ def _echo_convergence():
                 f"{c['val_psnr'][0]} → {c['val_psnr'][-1]} dB over "
                 f"{d['total_iters']} iters on real crops "
                 f"[measured {d['date']}]")
+
+
+def _echo_detector_conv():
+    dc = os.path.join(ASSETS, "detector_convergence.json")
+    if os.path.isfile(dc):
+        d = json.load(open(dc))
+        log(f"TRAIN detector convergence ({d['backbone']} "
+            f"{d['image_size']}², {d['iters']} iters bs={d['bs']}, "
+            f"on-device synth scenes): loss {d['loss_first10'][0]} → "
+            f"{d['loss_final']}; engine eval IoU@top1 "
+            f"{d['eval_random_init']['mean_iou']} → "
+            f"{d['eval_trained']['mean_iou']}, det rate "
+            f"{d['eval_trained']['det_rate']} [measured {d['date']}]")
 
 
 def _echo_e2e():
@@ -384,6 +399,9 @@ def run_queued_measurements():
                      lambda: run_script("bench_e2e")))
     if missing("video_bench.json"):
         jobs.append(("video SR serving", lambda: run_script("bench_video")))
+    if missing("detector_convergence.json"):
+        jobs.append(("detector convergence",
+                     lambda: run_script("bench_detector_convergence")))
     if not jobs:
         return
 
@@ -412,14 +430,24 @@ def run_queued_measurements():
 
 
 def main():
+    tiny = os.environ.get("IRT_BENCH_TINY") == "1"
+    if tiny:
+        # structural CPU smoke of the FULL headline flow (gates → geometry
+        # sweep → headline JSON) for the quick test pass; the axon plugin
+        # overrides the JAX_PLATFORMS env var, so force cpu post-import
+        jax.config.update("jax_platforms", "cpu")
+    tile0, halo0, bs0 = (32, HALO, 2) if tiny else (TILE, HALO, BS)
+    num_conv = 2 if tiny else NUM_CONV
+    iters0 = 2 if tiny else ITERS
+    big_tile, big_bs = (64, 2) if tiny else (1024, 2)
     rng = np.random.default_rng(0)
-    size = TILE + 2 * HALO  # halo-padded tile as served by tiled_apply
+    size = tile0 + 2 * halo0  # halo-padded tile as served by tiled_apply
     guard_backend(emit_error_json=True)
     log(f"devices: {jax.devices()}")
 
     # ---- build: SRVGG realesr-general x4, packed bf16 + int8 PTQ
     net = build_network(dict(type="SRVGGNetCompact", num_feat=64,
-                             num_conv=NUM_CONV, upscale=4,
+                             num_conv=num_conv, upscale=4,
                              dtype=jnp.bfloat16))
     from image_restoration_tpu.ops.packed_inference import (
         pack_srvgg_params, packed_srvgg_forward)
@@ -430,23 +458,23 @@ def main():
     x1 = jnp.asarray(rng.random((1, size, size, 3), np.float32),
                      jnp.bfloat16)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), x1)
-    packed = pack_srvgg_params(variables["params"], NUM_CONV)
+    packed = pack_srvgg_params(variables["params"], num_conv)
 
     calib_np, real = real_tiles(128, 2, rng)
     calib = jnp.asarray(calib_np)
     scales = jax.device_get(jax.jit(
-        lambda p, x: calibrate_srvgg_act_scales(p, x, NUM_CONV))(
+        lambda p, x: calibrate_srvgg_act_scales(p, x, num_conv))(
         jax.tree.map(lambda a: a.astype(jnp.float32),
                      variables["params"]), calib))
     qparams = quantize_srvgg_params(
         jax.device_get(variables["params"]), [float(s) for s in scales],
-        NUM_CONV, pack=2)
+        num_conv, pack=2)
 
     def apply_packed(p, x):
-        return packed_srvgg_forward(p, x, NUM_CONV, 4)
+        return packed_srvgg_forward(p, x, num_conv, 4)
 
     def apply_int8(p, x):
-        return quantized_srvgg_forward(p, x, NUM_CONV, 4, pack=2)
+        return quantized_srvgg_forward(p, x, num_conv, 4, pack=2)
 
     # ---- quality gate on REAL content at the served tile size
     gate_db = float("nan")
@@ -468,34 +496,78 @@ def main():
 
     int8_ok = np.isfinite(gate_db) and gate_db >= QUALITY_GATE_DB
 
-    # ---- headline timing
+    # ---- halo-4 quality gate (pure tiling error, bf16 both sides, at
+    # worst-case random weights). Halo is pure overhead — 6.3% of the
+    # compute at (512,8) vs 3.1% at (512,4) — so serve the smaller halo
+    # IF the seam error stays well above the int8 serving gate. Guarded:
+    # any failure here just keeps the canonical halo-8 geometry.
+    halo4_ok = False
+    try:
+        from image_restoration_tpu.parallel.tiling import tiled_apply
+        # batch 2: pack-2 block-diagonal inference needs an even batch
+        g_np, _ = real_tiles(big_tile, 2, rng)
+        g = jnp.asarray(g_np)
+        want = np.asarray(jax.jit(apply_packed)(
+            packed, g.astype(jnp.bfloat16))).astype(np.float32)
+        span = float(want.max() - want.min()) or 1.0
+        got = np.asarray(tiled_apply(
+            lambda x: apply_packed(packed, x.astype(jnp.bfloat16)),
+            g, tile=tile0, halo=4, scale=4)).astype(np.float32)
+        mse = float(np.mean((got - want) ** 2))
+        halo4_db = 10 * np.log10(span ** 2 / max(mse, 1e-12))
+        halo4_ok = halo4_db >= HALO_GATE_DB
+        log(f"halo-4 tiling gate: {halo4_db:.2f} dB "
+            f"(gate ≥ {HALO_GATE_DB}) → {'PASS' if halo4_ok else 'FAIL'}")
+    except Exception as e:
+        log(f"halo-4 gate failed to run (keeping halo 8): {e}")
+
+    # ---- headline timing: modes × geometries, all normalized to
+    # 512²-output-equivalent tiles/s. (tile,halo,bs) candidates:
+    #   (512,8,8)  canonical sweet spot (r1/r2 headline geometry)
+    #   (512,4,8)  3.1% halo overhead instead of 6.3%, seam-gated above
+    #   (1024,8,2) same compute/dispatch as (512,·,8), halves the halo
+    #              fraction at unchanged (strictly better) seam quality
+    geoms = [(tile0, halo0, bs0)]
+    if halo4_ok:
+        geoms.append((tile0, 4, bs0))
+    geoms.append((big_tile, 8, big_bs))
     best, best_mode = 0.0, "packed2-bf16"
+    best_geom = (tile0, halo0, bs0)
     modes = [("packed2-bf16", apply_packed, packed)]
     if int8_ok:
         modes.append(("packed2-int8", apply_int8, qparams))
     for mode, apply_fn, p in modes:
-        x = jnp.asarray(rng.random((BS, size, size, 3), np.float32),
-                        jnp.bfloat16)
-        try:
-            ms = onchip_ms(apply_fn, p, x)
-        except Exception as e:
-            log(f"SRVGG {mode} failed: {e}")
-            continue
-        tps = BS / (ms / 1e3)
-        log(f"SRVGG x4 {size}² {mode} bs={BS}: {ms:.2f} ms → "
-            f"{tps:.1f} tiles/s")
-        if tps > best:
-            best, best_mode = tps, mode
+        for tile, halo, bs in geoms:
+            s = tile + 2 * halo
+            x = jnp.asarray(rng.random((bs, s, s, 3), np.float32),
+                            jnp.bfloat16)
+            try:
+                ms = onchip_ms(apply_fn, p, x, iters=iters0,
+                               repeats=1 if tiny else 3)
+            except Exception as e:
+                log(f"SRVGG {mode} {s}² bs={bs} failed: {e}")
+                continue
+            tps = bs / (ms / 1e3) * (tile / tile0) ** 2
+            log(f"SRVGG x4 tile={tile} halo={halo} ({s}²) {mode} bs={bs}: "
+                f"{ms:.2f} ms → {tps:.1f} {tile0}²-equiv tiles/s")
+            if tps > best:
+                best, best_mode = tps, mode
+                best_geom = (tile, halo, bs)
 
     result = {
-        "metric": f"SRVGG-general x4 {TILE}²+{HALO}halo tiles/sec/chip "
-                  f"(bs={BS}, {best_mode}, PSNR-gated ≥{QUALITY_GATE_DB}dB"
-                  f" on real images: {gate_db:.1f}dB, on-chip)",
+        "metric": f"SRVGG-general x4 {tile0}²-equiv tiles/sec/chip "
+                  f"(tile={best_geom[0]} halo={best_geom[1]} "
+                  f"bs={best_geom[2]}, {best_mode}, PSNR-gated "
+                  f"≥{QUALITY_GATE_DB}dB on real images: {gate_db:.1f}dB, "
+                  f"halo seam-gated, on-chip)",
         "value": round(best, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
     }
     print(json.dumps(result), flush=True)
+    if tiny:
+        # structural smoke only: no artifact writes, no heavy diagnostics
+        return
     try:
         import datetime
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -520,10 +592,10 @@ def main():
         want = np.asarray(jax.jit(apply_packed)(
             packed, full.astype(jnp.bfloat16))).astype(np.float32)
         span = float(want.max() - want.min()) or 1.0
-        for halo in (16, HALO):
+        for halo in (16, halo0):
             got = np.asarray(tiled_apply(
                 lambda x: apply_packed(packed, x.astype(jnp.bfloat16)),
-                full, tile=TILE, halo=halo, scale=4)).astype(np.float32)
+                full, tile=tile0, halo=halo, scale=4)).astype(np.float32)
             mse = float(np.mean((got - want) ** 2))
             log(f"tiled-bf16 halo={halo} vs full-bf16 PSNR "
                 f"(pure tiling error, span-normalized, worst-case random "

@@ -52,13 +52,16 @@ def test_runs_missing_jobs_in_priority_order(bench_mod, tmp_path,
                                          "lat_p95_ms": 2}}}),
             ("bench_e2e", "e2e_latency.json",
              {"process_batch_real_wall_ms_per_image": {}}),
-            ("bench_video", "video_bench.json", {"date": "t"})]:
+            ("bench_video", "video_bench.json", {"date": "t"}),
+            ("bench_detector_convergence", "detector_convergence.json",
+             {"date": "t"})]:
         monkeypatch.setitem(sys.modules, script, _fake_job(
             script, calls, str(tmp_path), artifact, payload))
 
     bench_mod.run_queued_measurements()
     assert [c[0] for c in calls] == ["bench_microbatch", "bench_e2e",
-                                     "bench_video"]
+                                     "bench_video",
+                                     "bench_detector_convergence"]
     # sys.argv was sanitized for the argparse-using scripts
     assert all(len(argv) == 1 for _, argv in calls)
     assert sys.argv  # restored
@@ -71,15 +74,18 @@ def test_runs_missing_jobs_in_priority_order(bench_mod, tmp_path,
 
 def test_partial_artifacts_skip_only_measured(bench_mod, tmp_path,
                                               monkeypatch):
-    # microbatch measured; e2e exists but PRE-process_batch (missing the
-    # field); video missing -> e2e and video must run
+    # microbatch + detector measured; e2e exists but PRE-process_batch
+    # (missing the field); video missing -> e2e and video must run
     (tmp_path / "microbatch_bench.json").write_text("{}")
+    (tmp_path / "detector_convergence.json").write_text("{}")
     (tmp_path / "e2e_latency.json").write_text(
         json.dumps({"e2e_ms_per_image": {}}))
     calls = []
     for script, artifact in [("bench_microbatch", "microbatch_bench.json"),
                              ("bench_e2e", "e2e_latency.json"),
-                             ("bench_video", "video_bench.json")]:
+                             ("bench_video", "video_bench.json"),
+                             ("bench_detector_convergence",
+                              "detector_convergence.json")]:
         monkeypatch.setitem(sys.modules, script, _fake_job(
             script, calls, str(tmp_path), artifact,
             {"process_batch_real_wall_ms_per_image": {}}))
@@ -107,5 +113,11 @@ def test_job_failure_does_not_abort_queue(bench_mod, tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "bench_video", _fake_job(
         "bench_video", calls, str(tmp_path), "video_bench.json",
         {"date": "t"}))
+    monkeypatch.setitem(sys.modules, "bench_detector_convergence",
+                        _fake_job("bench_detector_convergence", calls,
+                                  str(tmp_path),
+                                  "detector_convergence.json",
+                                  {"date": "t"}))
     bench_mod.run_queued_measurements()
-    assert [c[0] for c in calls] == ["bench_e2e", "bench_video"]
+    assert [c[0] for c in calls] == ["bench_e2e", "bench_video",
+                                     "bench_detector_convergence"]
