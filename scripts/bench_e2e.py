@@ -65,6 +65,11 @@ def host_ms(fn, repeats=50):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # CPU sanity: shake out crashes in the exact code path before a
+        # live-chip window is spent on it (the axon plugin overrides the
+        # JAX_PLATFORMS env var, so force post-import)
+        jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
     pipe = PlatePipeline(dtype=jnp.bfloat16)
     img = cv2.imread(TEST_IMAGES[0])
@@ -95,18 +100,11 @@ def main():
     car_restored = result["car_restored"]
 
     def paste_stage():
-        pst1 = np.float32([[0, 0], [t, 0], [t, t], [0, t]])
-        matrix = cv2.getPerspectiveTransform(pst1, quad.astype(np.float32))
-        crop_resized = cv2.resize(crop, (t, t))
-        transform = cv2.warpPerspective(crop_resized, matrix, (t, t))
-        plate_warp = cv2.warpPerspective(plate_restored, matrix, (t, t))
-        mask = np.zeros((t, t), np.uint8)
-        cv2.fillPoly(mask, [quad], 255)
-        pasted = car_restored.copy()
-        pasted[mask > 0] = plate_warp[mask > 0]
-        return cv2.hconcat([canvas, plate_restored, car_restored,
-                            resize_with_padding(crop, (t, t)), transform,
-                            pasted])
+        # time the SHIPPED host post stage (warp + cv2.copyTo paste +
+        # montage), not a re-implementation of it
+        return pipe._finish_one(canvas, quad, result["score"],
+                                result["detected"], crop, plate_restored,
+                                car_restored)["montage"]
 
     ms_paste = host_ms(paste_stage)
     # normalize/uint8 conversions around the device calls
@@ -221,6 +219,10 @@ def main():
                 "device total (TPU-host-resident serving). Tunnel wall "
                 "is the axon RPC artifact, not the product latency.",
     }
+    if jax.devices()[0].platform != "tpu":
+        log("non-TPU backend — NOT writing e2e_latency.json (sanity run; "
+            "the artifact carries chip-measured numbers only)")
+        return
     os.makedirs(ASSETS, exist_ok=True)
     path = os.path.join(ASSETS, "e2e_latency.json")
     with open(path, "w") as f:
