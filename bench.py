@@ -67,6 +67,7 @@ def log(msg):
 
 
 _GUARDED = False
+_HEADLINE_PRINTED = False
 
 
 def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
@@ -133,6 +134,19 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
     def fire(signum, frame):
         log(f"WATCHDOG: bench exceeded {total_timeout_s}s — axon tunnel "
             f"likely died mid-run; aborting")
+        if emit_error_json and not _HEADLINE_PRINTED:
+            # a mid-run tunnel death before the headline must still leave
+            # a machine-readable record (bail() handles the probe path)
+            try:
+                print(json.dumps({
+                    "metric": "tiles_per_s_per_chip", "value": 0.0,
+                    "unit": "512px_x4_tiles/s", "vs_baseline": 0.0,
+                    "error": f"watchdog fired after {total_timeout_s}s "
+                             "mid-run (axon tunnel likely died); last "
+                             "live-measured results in docs/assets/*.json",
+                }), flush=True)
+            except Exception:
+                pass
         os._exit(3)
 
     signal.signal(signal.SIGALRM, fire)
@@ -282,11 +296,11 @@ def _echo_e2e():
             f"{e['fused_bs2_restore']} ms/img fused-bs2, "
             f"{e['batched_n8']} ms/img batched-n8 "
             f"[measured {d['date']}, host+on-chip split]")
-    pb = d.get("process_batch_real_wall_ms_per_image")
-    if pb and "batched_chunk8" in pb:
-        log(f"E2E process_batch wall: {pb['batched_chunk8']} ms/img "
-            f"chunk=8 vs {pb['per_image']} ms/img per-image "
-            f"[measured {d['date']}]")
+        pb = d.get("process_batch_real_wall_ms_per_image")
+        if pb and "batched_chunk8" in pb:
+            log(f"E2E process_batch wall: {pb['batched_chunk8']} ms/img "
+                f"chunk=8 vs {pb['per_image']} ms/img per-image "
+                f"[measured {d['date']}]")
 
 
 def _echo_ptq():
@@ -374,12 +388,13 @@ def run_queued_measurements():
         path = os.path.join(ASSETS, name)
         if not os.path.isfile(path):
             return True
-        if field:
-            try:
-                return field not in json.load(open(path))
-            except Exception:
-                return True
-        return False
+        try:
+            d = json.load(open(path))
+        except Exception:
+            # corrupt/truncated artifact (e.g. a prior run's alarm fired
+            # mid-write) counts as unmeasured, not as done
+            return True
+        return field not in d if field else False
 
     def run_script(modname):
         mod = __import__(modname)
@@ -507,16 +522,19 @@ def main():
         # batch 2: pack-2 block-diagonal inference needs an even batch
         g_np, _ = real_tiles(big_tile, 2, rng)
         g = jnp.asarray(g_np)
-        want = np.asarray(jax.jit(apply_packed)(
-            packed, g.astype(jnp.bfloat16))).astype(np.float32)
-        span = float(want.max() - want.min()) or 1.0
-        got = np.asarray(tiled_apply(
+        # keep the x4 outputs ON DEVICE and fetch three scalars — pulling
+        # two (2, 4·big, 4·big, 3) arrays through the ~14 MB/s tunnel
+        # would add ~30 s to the result-critical pre-headline path
+        want = jax.jit(apply_packed)(packed, g.astype(jnp.bfloat16)) \
+            .astype(jnp.float32)
+        got = tiled_apply(
             lambda x: apply_packed(packed, x.astype(jnp.bfloat16)),
-            g, tile=tile0, halo=4, scale=4)).astype(np.float32)
-        mse = float(np.mean((got - want) ** 2))
+            g, tile=tile0, halo=4, scale=4).astype(jnp.float32)
+        span = float(jnp.max(want) - jnp.min(want)) or 1.0
+        mse = float(jnp.mean((got - want) ** 2))
         halo4_db = 10 * np.log10(span ** 2 / max(mse, 1e-12))
         halo4_ok = halo4_db >= HALO_GATE_DB
-        log(f"halo-4 tiling gate: {halo4_db:.2f} dB "
+        log(f"halo-4 tiling gate (bf16): {halo4_db:.2f} dB "
             f"(gate ≥ {HALO_GATE_DB}) → {'PASS' if halo4_ok else 'FAIL'}")
     except Exception as e:
         log(f"halo-4 gate failed to run (keeping halo 8): {e}")
@@ -527,17 +545,20 @@ def main():
     #   (512,4,8)  3.1% halo overhead instead of 6.3%, seam-gated above
     #   (1024,8,2) same compute/dispatch as (512,·,8), halves the halo
     #              fraction at unchanged (strictly better) seam quality
-    geoms = [(tile0, halo0, bs0)]
-    if halo4_ok:
-        geoms.append((tile0, 4, bs0))
-    geoms.append((big_tile, 8, big_bs))
+    geoms = [(tile0, halo0, bs0), (big_tile, 8, big_bs)]
+    # the halo-4 seam gate above is measured bf16-only, and the int8 gate
+    # is measured untiled — pairing int8 with the reduced halo would
+    # compound two error sources neither gate covers, so halo 4 is a
+    # bf16-only candidate. (big_tile keeps halo 8: fewer seams, same
+    # halo → seam error strictly ≤ the canonical geometry's.)
+    bf16_geoms = geoms + ([(tile0, 4, bs0)] if halo4_ok else [])
     best, best_mode = 0.0, "packed2-bf16"
     best_geom = (tile0, halo0, bs0)
-    modes = [("packed2-bf16", apply_packed, packed)]
+    modes = [("packed2-bf16", apply_packed, packed, bf16_geoms)]
     if int8_ok:
-        modes.append(("packed2-int8", apply_int8, qparams))
-    for mode, apply_fn, p in modes:
-        for tile, halo, bs in geoms:
+        modes.append(("packed2-int8", apply_int8, qparams, geoms))
+    for mode, apply_fn, p, mode_geoms in modes:
+        for tile, halo, bs in mode_geoms:
             s = tile + 2 * halo
             x = jnp.asarray(rng.random((bs, s, s, 3), np.float32),
                             jnp.bfloat16)
@@ -565,6 +586,8 @@ def main():
         "vs_baseline": round(best / BASELINE_TILES_PER_SEC, 3),
     }
     print(json.dumps(result), flush=True)
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
     if tiny:
         # structural smoke only: no artifact writes, no heavy diagnostics
         return

@@ -96,6 +96,12 @@ def main():
         args.eval_n = 8
 
     from bench import guard_backend, log
+    n_chunks = max(1, args.iters // args.chunk)
+    if n_chunks * args.chunk != args.iters:
+        # train exactly what we record: round to whole chunks
+        log(f"iters {args.iters} → {n_chunks * args.chunk} "
+            f"(whole {args.chunk}-iter chunks)")
+        args.iters = n_chunks * args.chunk
     guard_backend()
     log(f"devices: {jax.devices()}")
 
@@ -129,7 +135,6 @@ def main():
 
     losses_all = []
     t_train = 0.0
-    n_chunks = max(1, args.iters // args.chunk)
     for c in range(n_chunks):
         t0 = time.perf_counter()
         state, losses = run_chunk(state, key, jnp.asarray(c * args.chunk))

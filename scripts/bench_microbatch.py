@@ -119,8 +119,10 @@ def main():
                       "value": round(speedup, 3), "unit": "x",
                       "clients": args.clients,
                       "quant": args.quant}), flush=True)
-    if args.tiny:
-        print("tiny CPU sanity only — NOT writing microbatch_bench.json",
+    import jax
+    if args.tiny or jax.devices()[0].platform != "tpu":
+        print("tiny/non-TPU run — NOT writing microbatch_bench.json "
+              "(the artifact carries chip-measured numbers only)",
               file=sys.stderr, flush=True)
         return
     os.makedirs(ASSETS, exist_ok=True)

@@ -93,6 +93,23 @@ def test_partial_artifacts_skip_only_measured(bench_mod, tmp_path,
     assert [c[0] for c in calls] == ["bench_e2e", "bench_video"]
 
 
+def test_corrupt_artifact_counts_as_unmeasured(bench_mod, tmp_path,
+                                               monkeypatch):
+    """A truncated artifact (e.g. a prior run's alarm fired mid-write)
+    must be re-measured, not treated as done."""
+    (tmp_path / "microbatch_bench.json").write_text("{}")
+    (tmp_path / "e2e_latency.json").write_text(
+        json.dumps({"process_batch_real_wall_ms_per_image": {}}))
+    (tmp_path / "detector_convergence.json").write_text("{}")
+    (tmp_path / "video_bench.json").write_text('{"date": "t", "basi')
+    calls = []
+    monkeypatch.setitem(sys.modules, "bench_video", _fake_job(
+        "bench_video", calls, str(tmp_path), "video_bench.json",
+        {"date": "t"}))
+    bench_mod.run_queued_measurements()
+    assert [c[0] for c in calls] == ["bench_video"]
+
+
 def test_noop_off_tpu(bench_mod, tmp_path, monkeypatch):
     dev = types.SimpleNamespace(platform="cpu")
     monkeypatch.setattr(bench_mod.jax, "devices", lambda *a: [dev])
