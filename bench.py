@@ -517,6 +517,7 @@ def main():
     # IF the seam error stays well above the int8 serving gate. Guarded:
     # any failure here just keeps the canonical halo-8 geometry.
     halo4_ok = False
+    int8_halo4_ok = False
     try:
         from image_restoration_tpu.parallel.tiling import tiled_apply
         # batch 2: pack-2 block-diagonal inference needs an even batch
@@ -536,6 +537,19 @@ def main():
         halo4_ok = halo4_db >= HALO_GATE_DB
         log(f"halo-4 tiling gate (bf16): {halo4_db:.2f} dB "
             f"(gate ≥ {HALO_GATE_DB}) → {'PASS' if halo4_ok else 'FAIL'}")
+        if halo4_ok and int8_ok:
+            # DIRECT gate on the composed int8+halo-4 path (quantization
+            # and seam error compose ~additively in MSE — verified CPU
+            # r3s3): tiled-int8 vs full-bf16 must clear the serving gate
+            got_q = tiled_apply(
+                lambda x: apply_int8(qparams, x.astype(jnp.bfloat16)),
+                g, tile=tile0, halo=4, scale=4).astype(jnp.float32)
+            mse_q = float(jnp.mean((got_q - want) ** 2))
+            int8_halo4_db = 10 * np.log10(span ** 2 / max(mse_q, 1e-12))
+            int8_halo4_ok = int8_halo4_db >= QUALITY_GATE_DB
+            log(f"halo-4 combined int8 gate: {int8_halo4_db:.2f} dB "
+                f"(gate ≥ {QUALITY_GATE_DB}) → "
+                f"{'PASS' if int8_halo4_ok else 'FAIL'}")
     except Exception as e:
         log(f"halo-4 gate failed to run (keeping halo 8): {e}")
 
@@ -546,17 +560,18 @@ def main():
     #   (1024,8,2) same compute/dispatch as (512,·,8), halves the halo
     #              fraction at unchanged (strictly better) seam quality
     geoms = [(tile0, halo0, bs0), (big_tile, 8, big_bs)]
-    # the halo-4 seam gate above is measured bf16-only, and the int8 gate
-    # is measured untiled — pairing int8 with the reduced halo would
-    # compound two error sources neither gate covers, so halo 4 is a
-    # bf16-only candidate. (big_tile keeps halo 8: fewer seams, same
-    # halo → seam error strictly ≤ the canonical geometry's.)
+    # halo 4 joins a mode's sweep only with gate coverage for that mode:
+    # bf16 needs the seam gate; int8 additionally needs the DIRECT
+    # composed-path gate (its own gate is measured untiled). big_tile
+    # keeps halo 8: fewer seams, same halo → seam error strictly ≤ the
+    # canonical geometry's, so the existing gates cover it.
     bf16_geoms = geoms + ([(tile0, 4, bs0)] if halo4_ok else [])
+    int8_geoms = geoms + ([(tile0, 4, bs0)] if int8_halo4_ok else [])
     best, best_mode = 0.0, "packed2-bf16"
     best_geom = (tile0, halo0, bs0)
     modes = [("packed2-bf16", apply_packed, packed, bf16_geoms)]
     if int8_ok:
-        modes.append(("packed2-int8", apply_int8, qparams, geoms))
+        modes.append(("packed2-int8", apply_int8, qparams, int8_geoms))
     for mode, apply_fn, p, mode_geoms in modes:
         for tile, halo, bs in mode_geoms:
             s = tile + 2 * halo
