@@ -441,6 +441,11 @@ def run_queued_measurements():
     if ran:
         signal.alarm(300)
         echo_artifacts()  # fold the fresh numbers into this run's tail
+        try:
+            import gen_benchmark_table
+            gen_benchmark_table.main()  # keep docs/BENCHMARKS.md current
+        except Exception as e:
+            log(f"benchmark table regen failed: {e!r}")
     signal.alarm(0)
 
 

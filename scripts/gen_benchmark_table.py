@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Generate docs/BENCHMARKS.md — one consolidated table of every measured
+number (from docs/assets/*.json + BENCH_r*.json), with measurement dates
+and pending-queue status. Pure file reads; re-run after any measurement:
+
+    python scripts/gen_benchmark_table.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ASSETS = os.path.join(REPO, "docs", "assets")
+
+
+def load(name):
+    path = os.path.join(ASSETS, name)
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def main():
+    rows = []  # (section, metric, value, date/status)
+
+    def add(section, metric, value, date):
+        rows.append((section, metric, value, date))
+
+    # ---- headline history
+    for bench_file in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(bench_file))
+            d = d.get("parsed", d)
+            add("Headline", f"`{os.path.basename(bench_file)}` "
+                            f"{d['metric'][:70]}…",
+                f"{d['value']} {d.get('unit', '')} "
+                f"({d.get('vs_baseline', '?')}× baseline)", "round record")
+        except Exception:
+            pass
+    lh = load("last_headline.json")
+    if lh:
+        add("Headline", "last live-measured headline",
+            f"{lh['value']} {lh.get('unit', '')} "
+            f"({lh.get('vs_baseline', '?')}× baseline)",
+            lh.get("measured_at", "?"))
+
+    # ---- serving
+    gq = load("gfpgan_ptq.json")
+    if gq:
+        for row in gq.get("rows", []):
+            if row.get("bs") == 32 and "bf16" in row and "dyn-int8" in row:
+                add("Serving", "GFPGAN 256² bs=32 bf16",
+                    f"{row['bf16']['imgs_per_sec']} imgs/s", gq["date"])
+                add("Serving", "GFPGAN 256² bs=32 dyn-int8 "
+                    f"({gq['quality_db_vs_f32']} dB gate)",
+                    f"{row['dyn-int8']['imgs_per_sec']} imgs/s", gq["date"])
+    rl = load("rrdb_ladder.json")
+    if rl and rl.get("rows"):
+        best = max(rl["rows"], key=lambda r: r["tiles_per_sec"])
+        add("Serving", f"RRDB-23 x4 528² best ({best['mode']}, "
+            f"bs={best['bs']})", f"{best['tiles_per_sec']} tiles/s",
+            rl["date"])
+    vb = load("video_bench.json")
+    if vb:
+        for k, v in vb.items():
+            if isinstance(v, dict) and "frames_per_s" in v:
+                add("Serving", f"video SR {k} ({vb.get('geometry', '')})",
+                    f"{v['frames_per_s']} frames/s", vb["date"])
+    else:
+        add("Serving", "video SR BasicVSR/IconVSR/EDVR", "queued",
+            "scripts/bench_video.py")
+    mb = load("microbatch_bench.json")
+    if mb:
+        r = mb.get("results", {})
+        if "per_request" in r and "microbatch" in r:
+            add("Serving", f"micro-batching ({mb['clients']} clients)",
+                f"{r['per_request']['imgs_per_s']:.0f} → "
+                f"{r['microbatch']['imgs_per_s']:.0f} imgs/s "
+                f"({mb['speedup']}×)", mb["date"])
+    else:
+        add("Serving", "micro-batching coalesced throughput", "queued",
+            "scripts/bench_microbatch.py")
+
+    # ---- end-to-end product
+    e2e = load("e2e_latency.json")
+    if e2e:
+        e = e2e["e2e_ms_per_image"]
+        add("E2E product", "/Vehicle_Resolution_GFPGAN/ sequential",
+            f"{e['sequential_restores']} ms/img", e2e["date"])
+        add("E2E product", "fused bs=2 restore",
+            f"{e['fused_bs2_restore']} ms/img", e2e["date"])
+        add("E2E product", "batched N=8",
+            f"{e['batched_n8']} ms/img", e2e["date"])
+        pb = e2e.get("process_batch_real_wall_ms_per_image")
+        if pb:
+            add("E2E product", "process_batch wall (chunk=8 vs per-image)",
+                f"{pb['batched_chunk8']} vs {pb['per_image']} ms/img",
+                e2e["date"])
+        else:
+            add("E2E product", "process_batch wall", "queued",
+                "scripts/bench_e2e.py")
+
+    # ---- training
+    tb = load("train_bench.json")
+    if tb:
+        for key, label in (("gfpgan_gan_step", "GFPGAN GAN step"),
+                           ("sr_l1_step", "SRModel L1 step"),
+                           ("detector_step", "detector step")):
+            blk = tb.get(key) or {}
+            for r in blk.get("rows", []) or []:
+                variant = " (remat)" if r.get("remat") else ""
+                add("Training", f"{label} bs={r['bs']}{variant}",
+                    f"{r['imgs_per_sec']} imgs/s ({r['ms_per_step']} "
+                    f"ms/step)",
+                    blk.get("date") or tb.get("meta", {}).get("date", "?"))
+    for kind in ("sr", "gfpgan"):
+        cv = load(f"train_convergence_{kind}.json")
+        if cv:
+            c = cv["curve"]
+            add("Training", f"{kind.upper()} convergence "
+                f"({cv['total_iters']} iters)",
+                f"val PSNR {c['val_psnr'][0]} → {c['val_psnr'][-1]} dB",
+                cv["date"])
+    dc = load("detector_convergence.json")
+    if dc:
+        add("Training", f"detector convergence ({dc['iters']} iters, "
+            f"engine-eval)",
+            f"IoU {dc['eval_random_init']['mean_iou']} → "
+            f"{dc['eval_trained']['mean_iou']}, det rate "
+            f"{dc['eval_trained']['det_rate']}", dc["date"])
+    else:
+        add("Training", "detector convergence (engine-eval IoU)", "queued",
+            "scripts/bench_detector_convergence.py")
+
+    # ---- render
+    out = ["# Measured benchmarks (auto-generated)",
+           "",
+           "Single source of measured truth, regenerated from "
+           "`docs/assets/*.json` + `BENCH_r*.json` by "
+           "`scripts/gen_benchmark_table.py`. \"queued\" rows run "
+           "automatically inside `python bench.py` on a live TPU "
+           "(see scripts/chip_queue.sh). Methodology: on-chip `lax.scan` "
+           "timing (docs/PERFORMANCE.md \"timing\"); host stages "
+           "wall-clocked on the serving host.",
+           ""]
+    cur = None
+    for section, metric, value, date in rows:
+        if section != cur:
+            if cur is not None:
+                out.append("")
+            out += [f"## {section}", "", "| metric | value | measured |",
+                    "|---|---|---|"]
+            cur = section
+        out.append(f"| {metric} | {value} | {date} |")
+    path = os.path.join(REPO, "docs", "BENCHMARKS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()
