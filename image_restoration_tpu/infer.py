@@ -90,8 +90,30 @@ class Restorer:
 
         self._fwd = jax.jit(fwd)
 
+        def fwd_u8(params, x_u8):
+            # device-side IO: uint8 RGB in → /255 + mean/std normalize,
+            # forward, clip/rescale/BGR-flip/round → uint8 BGR out. Same
+            # math as the float path + host tensor2img (≤1 LSB from f32
+            # ulp differences), 4× less host↔device traffic, zero host
+            # normalize/convert passes.
+            x = x_u8.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+            if self.input_size[0] is not None and (
+                    x.shape[1] != self.input_size[0]
+                    or x.shape[2] != self.input_size[1]):
+                x = jresize(x, self.input_size, "bilinear")
+            out = fwd(params, x)
+            lo, hi = self.out_min_max
+            y = jnp.clip(out.astype(jnp.float32), lo, hi)
+            y = (y - lo) / (hi - lo)
+            y = y[..., ::-1]  # rgb2bgr, as tensor2img does
+            return jnp.round(y * 255.0).astype(jnp.uint8)
+
+        self._fwd_u8 = jax.jit(fwd_u8)
+
         self.data_parallel = data_parallel or 0
         self._fwd_dp = None
+        self._fwd_u8_dp = None
         self._mesh = None
         if self.data_parallel > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -102,6 +124,8 @@ class Restorer:
             self.variables = jax.device_put(self.variables, rep)
             self._fwd_dp = jax.jit(fwd, in_shardings=(rep, split),
                                    out_shardings=split)
+            self._fwd_u8_dp = jax.jit(fwd_u8, in_shardings=(rep, split),
+                                      out_shardings=split)
 
     def restore_batch(self, imgs: np.ndarray) -> np.ndarray:
         """Batched restore: (N,H,W,3) RGB float [0,1] → (N,H',W',3) BGR
@@ -125,6 +149,24 @@ class Restorer:
         return np.stack([tensor2img(out_np[i:i + 1],
                                     min_max=self.out_min_max)
                          for i in range(out_np.shape[0])])
+
+    def restore_batch_u8(self, imgs: np.ndarray) -> np.ndarray:
+        """Device-IO batched restore: (N,H,W,3) RGB uint8 → (N,H',W',3)
+        BGR uint8. Equivalent to `restore_batch(imgs/255)` to ≤1 LSB
+        (f32 ulp/rounding), with uint8 on the wire both ways and all
+        normalization/conversion on device — host does IO, device does
+        math. Preferred for serving hot paths."""
+        if imgs.dtype != np.uint8:
+            raise TypeError(f"restore_batch_u8 expects uint8, got "
+                            f"{imgs.dtype}")
+        n = imgs.shape[0]
+        dp = self.data_parallel if self.data_parallel > 1 else 0
+        if dp and n % dp:
+            pad = dp - n % dp
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+        fwd = self._fwd_u8_dp if dp else self._fwd_u8
+        return np.asarray(fwd(self.variables["params"],
+                              jnp.asarray(imgs)))[:n]
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """HWC RGB float [0,1] → HWC BGR uint8 restored (matching reference

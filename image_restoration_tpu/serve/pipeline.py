@@ -69,7 +69,14 @@ class PlatePipeline:
                  car_restorer: Optional[Restorer] = None,
                  detector_ckpt: Optional[str] = None,
                  plate_ckpt: Optional[str] = None,
-                 car_ckpt: Optional[str] = None, dtype=None):
+                 car_ckpt: Optional[str] = None, dtype=None,
+                 device_io: bool = True):
+        """device_io routes the restores through Restorer.restore_batch_u8
+        (uint8 on the wire both ways, normalization/uint8-conversion on
+        device) — equivalent to the host float path to ≤1 LSB; set False
+        for the reference-exact host normalize (api_plate_oto.py:386-390
+        does it on host with torch)."""
+        self.device_io = device_io
         self.detector = detector or PlateDetector(ckpt_path=detector_ckpt,
                                                   dtype=dtype)
         # the reference's TorchScript plate model is GFPGANv1OCR at the
@@ -109,13 +116,19 @@ class PlatePipeline:
 
     def _restore_plate(self, crop_bgr256: np.ndarray) -> np.ndarray:
         """ref restoration_plate (:349-374): NO channel swap, ±0.5 norm."""
-        x = crop_bgr256.astype(np.float32) / 255.0
-        out = self.plate_restorer(x)           # Restorer assumes RGB in
+        if self.device_io:
+            out = self.plate_restorer.restore_batch_u8(crop_bgr256[None])[0]
+        else:
+            x = crop_bgr256.astype(np.float32) / 255.0
+            out = self.plate_restorer(x)       # Restorer assumes RGB in
         return out[..., ::-1]                   # undo its RGB→BGR: net saw BGR
 
     def _restore_car(self, img_bgr: np.ndarray) -> np.ndarray:
         """ref restoration_car (:376-401): BGR→RGB swap + ±0.5 norm."""
         img = cv2.resize(img_bgr, (self.TARGET, self.TARGET))
+        if self.device_io:
+            return self.car_restorer.restore_batch_u8(
+                img[..., ::-1][None])[0]         # returns BGR uint8
         x = img[..., ::-1].astype(np.float32) / 255.0
         return self.car_restorer(x)             # returns BGR uint8
 
@@ -203,21 +216,30 @@ class PlatePipeline:
         results: list = [None] * len(imgs)
         post: list = []  # (result index, future)
 
+        # device_io: uint8 arrays go to restore_batch_u8 (norm + uint8
+        # conversion on device); otherwise host-normalized float batches
+        def as_input(u8):
+            return u8 if self.device_io else u8.astype(np.float32) / 255.0
+
+        restore = (self.plate_restorer.restore_batch_u8 if self.device_io
+                   else self.plate_restorer.restore_batch)
+        restore_car = (self.car_restorer.restore_batch_u8
+                       if self.device_io else
+                       self.car_restorer.restore_batch)
+
         def pre(img):
             canvas = cv2.resize(img, (t, t), interpolation=cv2.INTER_LINEAR)
             det_in = cv2.resize(img.astype(np.float32), (ds, ds),
                                 interpolation=cv2.INTER_LINEAR)
             # _restore_car input: BGR→RGB swap + [0,1] (ref :376-401)
-            car_in = cv2.resize(img, (t, t))[..., ::-1] \
-                .astype(np.float32) / 255.0
+            car_in = as_input(cv2.resize(img, (t, t))[..., ::-1])
             return canvas, det_in, car_in
 
         def mid(canvas, quad):
             crop = self._crop_plate(canvas, quad)
             # _restore_plate input: NO channel swap (ref :349-374)
-            plate_in = (cv2.resize(crop, (t, t)) if crop.size else
-                        np.zeros((t, t, 3), np.uint8)) \
-                .astype(np.float32) / 255.0
+            plate_in = as_input(cv2.resize(crop, (t, t)) if crop.size else
+                                np.zeros((t, t, 3), np.uint8))
             return crop, plate_in
 
         with ThreadPoolExecutor(max_workers=host_workers) as pool:
@@ -244,14 +266,12 @@ class PlatePipeline:
                 plate_ins = np.stack([m[1] for m in mids])
                 cars = np.stack(car_ins)
                 if fused:
-                    both = self.plate_restorer.restore_batch(
-                        np.concatenate([plate_ins, cars]))
+                    both = restore(np.concatenate([plate_ins, cars]))
                     plate_outs = both[:len(chunk)][..., ::-1]
                     car_outs = both[len(chunk):]
                 else:
-                    plate_outs = self.plate_restorer.restore_batch(
-                        plate_ins)[..., ::-1]
-                    car_outs = self.car_restorer.restore_batch(cars)
+                    plate_outs = restore(plate_ins)[..., ::-1]
+                    car_outs = restore_car(cars)
 
                 for i in range(n_real):
                     post.append((base + i, pool.submit(

@@ -76,6 +76,46 @@ def test_finish_one_paste_semantics(pipeline, rng):
     np.testing.assert_array_equal(got["pasted"], want)
 
 
+def test_restore_batch_u8_matches_float(pipeline, rng):
+    """Device-IO path (uint8 wire, on-device norm/convert) must equal the
+    host float path to ≤1 LSB (f32 ulp/rounding differences only)."""
+    restorer = pipeline.plate_restorer
+    u8 = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    want = restorer.restore_batch(u8.astype(np.float32) / 255.0)
+    got = restorer.restore_batch_u8(u8)
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert d.max() <= 1, f"max dev {d.max()}"
+
+
+def test_restore_batch_u8_rejects_float(pipeline, rng):
+    with pytest.raises(TypeError):
+        pipeline.plate_restorer.restore_batch_u8(
+            rng.random((1, 64, 64, 3)).astype(np.float32))
+
+
+def test_pipeline_device_io_equivalence(pipeline, rng):
+    """process() with device_io (the default) equals the reference-exact
+    host-normalize path to ≤1 LSB on restored panels; host-computed
+    fields are identical."""
+
+    class TinyPipeline(PlatePipeline):
+        TARGET = pipeline.TARGET
+
+    host = TinyPipeline(detector=pipeline.detector,
+                        plate_restorer=pipeline.plate_restorer,
+                        car_restorer=pipeline.car_restorer,
+                        device_io=False)
+    img = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    got, want = pipeline.process(img), host.process(img)
+    np.testing.assert_array_equal(got["input"], want["input"])
+    np.testing.assert_array_equal(got["quad"], want["quad"])
+    np.testing.assert_array_equal(got["crop"], want["crop"])
+    for k in ("plate_restored", "car_restored", "pasted", "montage"):
+        d = np.abs(got[k].astype(np.int16) - want[k].astype(np.int16))
+        assert d.max() <= 1, f"{k}: max dev {d.max()}"
+
+
 def test_pipeline_process(pipeline, rng):
     img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
     result = pipeline.process(img)
