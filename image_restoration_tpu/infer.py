@@ -152,10 +152,16 @@ class Restorer:
 
     def restore_batch_u8(self, imgs: np.ndarray) -> np.ndarray:
         """Device-IO batched restore: (N,H,W,3) RGB uint8 → (N,H',W',3)
-        BGR uint8. Equivalent to `restore_batch(imgs/255)` to ≤1 LSB
-        (f32 ulp/rounding), with uint8 on the wire both ways and all
+        BGR uint8, with uint8 on the wire both ways and all
         normalization/conversion on device — host does IO, device does
-        math. Preferred for serving hot paths."""
+        math. Preferred for serving hot paths.
+
+        Equivalence to `restore_batch(imgs/255)`: ≤1 LSB for float/bf16
+        restorers (f32 ulp/rounding only). With quant="dyn-int8" this is
+        a SEPARATE compilation of the int8 chain, and int8 requant
+        rounding is compilation-dependent (docs/PERFORMANCE.md) — outputs
+        match to the serving PSNR gate (≥30 dB, regression-tested), not
+        bitwise."""
         if imgs.dtype != np.uint8:
             raise TypeError(f"restore_batch_u8 expects uint8, got "
                             f"{imgs.dtype}")

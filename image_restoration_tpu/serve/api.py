@@ -61,7 +61,7 @@ class ServiceCore:
         float path; 4× less host↔device traffic and 4× smaller
         micro-batch buffers). False = reference-exact host normalize."""
         import os
-        self.pipeline = pipeline or PlatePipeline()
+        self.pipeline = pipeline or PlatePipeline(device_io=device_io)
         self.restorer = restorer or self.pipeline.car_restorer
         # custom restorers (stubs, exported engines) may not implement the
         # device-IO entry point — fall back to the host float path

@@ -75,8 +75,8 @@ class PlatePipeline:
         (uint8 on the wire both ways, normalization/uint8-conversion on
         device) — equivalent to the host float path to ≤1 LSB; set False
         for the reference-exact host normalize (api_plate_oto.py:386-390
-        does it on host with torch)."""
-        self.device_io = device_io
+        does it on host with torch). Duck-typed restorers without the u8
+        entry point fall back to the host path automatically."""
         self.detector = detector or PlateDetector(ckpt_path=detector_ckpt,
                                                   dtype=dtype)
         # the reference's TorchScript plate model is GFPGANv1OCR at the
@@ -85,6 +85,19 @@ class PlatePipeline:
             PRODUCTION_GFPGAN, plate_ckpt, dtype=dtype)
         self.car_restorer = car_restorer or Restorer(
             PRODUCTION_GFPGAN, car_ckpt, dtype=dtype)
+        self.device_io = (device_io
+                          and hasattr(self.plate_restorer,
+                                      "restore_batch_u8")
+                          and hasattr(self.car_restorer,
+                                      "restore_batch_u8"))
+
+    def _dispatch(self, restorer, rgb_u8_batch: np.ndarray) -> np.ndarray:
+        """(N,H,W,3) uint8 RGB batch → (N,H',W',3) BGR uint8 via the
+        selected IO path — the single place the device_io choice lives."""
+        if self.device_io:
+            return restorer.restore_batch_u8(rgb_u8_batch)
+        return restorer.restore_batch(
+            rgb_u8_batch.astype(np.float32) / 255.0)
 
     # ----------------------------------------------------------- helpers
 
@@ -116,21 +129,14 @@ class PlatePipeline:
 
     def _restore_plate(self, crop_bgr256: np.ndarray) -> np.ndarray:
         """ref restoration_plate (:349-374): NO channel swap, ±0.5 norm."""
-        if self.device_io:
-            out = self.plate_restorer.restore_batch_u8(crop_bgr256[None])[0]
-        else:
-            x = crop_bgr256.astype(np.float32) / 255.0
-            out = self.plate_restorer(x)       # Restorer assumes RGB in
+        out = self._dispatch(self.plate_restorer, crop_bgr256[None])[0]
         return out[..., ::-1]                   # undo its RGB→BGR: net saw BGR
 
     def _restore_car(self, img_bgr: np.ndarray) -> np.ndarray:
         """ref restoration_car (:376-401): BGR→RGB swap + ±0.5 norm."""
         img = cv2.resize(img_bgr, (self.TARGET, self.TARGET))
-        if self.device_io:
-            return self.car_restorer.restore_batch_u8(
-                img[..., ::-1][None])[0]         # returns BGR uint8
-        x = img[..., ::-1].astype(np.float32) / 255.0
-        return self.car_restorer(x)             # returns BGR uint8
+        return self._dispatch(self.car_restorer,
+                              np.ascontiguousarray(img[..., ::-1])[None])[0]
 
     def _finish_one(self, canvas, quad, score, ok, crop, plate_restored,
                     car_restored) -> Dict[str, np.ndarray]:
@@ -216,30 +222,20 @@ class PlatePipeline:
         results: list = [None] * len(imgs)
         post: list = []  # (result index, future)
 
-        # device_io: uint8 arrays go to restore_batch_u8 (norm + uint8
-        # conversion on device); otherwise host-normalized float batches
-        def as_input(u8):
-            return u8 if self.device_io else u8.astype(np.float32) / 255.0
-
-        restore = (self.plate_restorer.restore_batch_u8 if self.device_io
-                   else self.plate_restorer.restore_batch)
-        restore_car = (self.car_restorer.restore_batch_u8
-                       if self.device_io else
-                       self.car_restorer.restore_batch)
-
         def pre(img):
             canvas = cv2.resize(img, (t, t), interpolation=cv2.INTER_LINEAR)
             det_in = cv2.resize(img.astype(np.float32), (ds, ds),
                                 interpolation=cv2.INTER_LINEAR)
-            # _restore_car input: BGR→RGB swap + [0,1] (ref :376-401)
-            car_in = as_input(cv2.resize(img, (t, t))[..., ::-1])
+            # _restore_car input: BGR→RGB swap (ref :376-401); stays uint8
+            # — _dispatch handles the device_io/float conversion choice
+            car_in = cv2.resize(img, (t, t))[..., ::-1]
             return canvas, det_in, car_in
 
         def mid(canvas, quad):
             crop = self._crop_plate(canvas, quad)
             # _restore_plate input: NO channel swap (ref :349-374)
-            plate_in = as_input(cv2.resize(crop, (t, t)) if crop.size else
-                                np.zeros((t, t, 3), np.uint8))
+            plate_in = (cv2.resize(crop, (t, t)) if crop.size else
+                        np.zeros((t, t, 3), np.uint8))
             return crop, plate_in
 
         with ThreadPoolExecutor(max_workers=host_workers) as pool:
@@ -266,12 +262,14 @@ class PlatePipeline:
                 plate_ins = np.stack([m[1] for m in mids])
                 cars = np.stack(car_ins)
                 if fused:
-                    both = restore(np.concatenate([plate_ins, cars]))
+                    both = self._dispatch(self.plate_restorer,
+                                          np.concatenate([plate_ins, cars]))
                     plate_outs = both[:len(chunk)][..., ::-1]
                     car_outs = both[len(chunk):]
                 else:
-                    plate_outs = restore(plate_ins)[..., ::-1]
-                    car_outs = restore_car(cars)
+                    plate_outs = self._dispatch(self.plate_restorer,
+                                                plate_ins)[..., ::-1]
+                    car_outs = self._dispatch(self.car_restorer, cars)
 
                 for i in range(n_real):
                     post.append((base + i, pool.submit(

@@ -71,7 +71,10 @@ def main():
         # JAX_PLATFORMS env var, so force post-import)
         jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
-    pipe = PlatePipeline(dtype=jnp.bfloat16)
+    # --host-io measures the reference-exact host-normalize path for
+    # comparison with the default device-IO u8 graph
+    pipe = PlatePipeline(dtype=jnp.bfloat16,
+                         device_io="--host-io" not in sys.argv)
     img = cv2.imread(TEST_IMAGES[0])
     t = pipe.TARGET
 
@@ -205,6 +208,10 @@ def main():
     out = {
         "date": time.strftime("%Y-%m-%d"),
         "image": os.path.basename(TEST_IMAGES[0]),
+        # which restore graph the device numbers were measured on:
+        # device_io=True = restore_batch_u8 (uint8 wire, on-device
+        # norm/convert); False = the host-normalize float graph
+        "device_io": bool(pipe.device_io),
         "host_ms": {"resize": round(ms_resize, 3),
                     "crop_mask_pad": round(ms_crop, 3),
                     "normalize": round(ms_norm, 3),

@@ -97,17 +97,12 @@ def main():
         core.restore(img_bgr)  # warm the jit caches outside timing
         if core.batcher is not None:
             # warm every bucket the run can hit so compiles stay out of
-            # the timed window (buckets are powers of two up to max);
-            # warm the SAME graph the batcher dispatches (u8 device-IO
-            # by default)
+            # the timed window (buckets are powers of two up to max) —
+            # through the batcher's OWN batch_fn and input form, so the
+            # warmed graph is exactly the one the run dispatches
+            item = core._as_input(np.ascontiguousarray(img_bgr[..., ::-1]))
             for b in core.batcher.buckets:
-                batch_rgb = np.ascontiguousarray(
-                    np.repeat(img_bgr[None], b, 0)[..., ::-1])
-                if core.device_io:
-                    restorer.restore_batch_u8(batch_rgb)
-                else:
-                    restorer.restore_batch(
-                        batch_rgb.astype(np.float32) / 255.0)
+                core.batcher.batch_fn(np.repeat(item[None], b, 0))
             core.batcher.stats.update(items=0, dispatches=0,
                                       padded_rows=0, batch_hist={})
         results[label] = run_mode(core, img_bgr, args.clients,

@@ -88,6 +88,20 @@ def test_restore_batch_u8_matches_float(pipeline, rng):
     assert d.max() <= 1, f"max dev {d.max()}"
 
 
+def test_restore_batch_u8_dyn_int8_psnr_gate(rng):
+    """With quant="dyn-int8" the u8 path is a separate compilation of the
+    int8 chain — requant rounding is compilation-dependent, so equivalence
+    holds to the serving PSNR gate, not bitwise."""
+    restorer = Restorer(TINY_GFPGAN, quant="dyn-int8")
+    u8 = (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    want = restorer.restore_batch(u8.astype(np.float32) / 255.0) \
+        .astype(np.float32)
+    got = restorer.restore_batch_u8(u8).astype(np.float32)
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 30.0, f"dyn-int8 u8 path vs float path: {psnr:.1f} dB"
+
+
 def test_restore_batch_u8_rejects_float(pipeline, rng):
     with pytest.raises(TypeError):
         pipeline.plate_restorer.restore_batch_u8(
