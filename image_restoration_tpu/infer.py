@@ -200,6 +200,28 @@ class Restorer:
                           tile_batch=tile_batch, mesh=self._mesh)
         return tensor2img(out, min_max=self.out_min_max)
 
+    def restore_tiled_u8(self, img: np.ndarray, tile: int = 512,
+                         halo: int = 16, scale: int = 4,
+                         tile_batch: int = 4) -> np.ndarray:
+        """Device-IO tiled restore: (H,W,3) RGB uint8 → (H·s,W·s,3) BGR
+        uint8. Same tiling as restore_tiled with the /255 + normalize and
+        clip/rescale/round conversions inside the per-chunk jitted graph —
+        uint8 on the wire both ways (a 4096² image is 50 MB instead of
+        200 MB each way). Equivalence: ≤1 LSB vs restore_tiled for
+        float/bf16 nets (see restore_batch_u8 for the dyn-int8 caveat)."""
+        if img.dtype != np.uint8:
+            raise TypeError(f"restore_tiled_u8 expects uint8, got "
+                            f"{img.dtype}")
+        dp = self.data_parallel if self.data_parallel > 1 else 0
+        if dp and tile_batch % dp:
+            tile_batch += dp - tile_batch % dp
+        x = jnp.asarray(img)[None]
+        out = tiled_apply(
+            lambda t: self._fwd_u8(self.variables["params"], t),
+            x, tile=tile, halo=halo, scale=scale,
+            tile_batch=tile_batch, mesh=self._mesh)
+        return np.asarray(out[0])
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Restore plate/car images")
