@@ -150,7 +150,9 @@ class ServiceCore:
             raise RuntimeError(
                 "no SR engine configured: export one with "
                 "scripts/export_restorer.py and set IRT_SR_ENGINE")
-        rgb = img_bgr[..., ::-1].astype(np.float32) / 255.0
+        # uint8 through: EngineRestorer converts only if the engine's IO
+        # needs it (u8-IO engines take it to the device untouched)
+        rgb = np.ascontiguousarray(img_bgr[..., ::-1])
         out = self.sr_engine(rgb)
         ok, buf = cv2.imencode(".png", out[..., ::-1])
         return buf.tobytes()

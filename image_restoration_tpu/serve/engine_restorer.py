@@ -19,7 +19,10 @@ from ..parallel.tiling import tiled_apply
 
 
 class EngineRestorer:
-    """Callable: float RGB (H,W,3) in [0,1] → uint8 RGB ×upscale."""
+    """Callable: RGB (H,W,3) — uint8 [0,255] or float [0,1] — → uint8
+    RGB ×upscale. With a u8-IO engine (export_restorer --u8-io) uint8
+    inputs go to the device untouched and outputs come back uint8 (the
+    /255 + clip/round conversions are baked into the artifact)."""
 
     def __init__(self, engine_dir: str):
         with open(osp.join(engine_dir, "engine.json")) as f:
@@ -31,8 +34,20 @@ class EngineRestorer:
         self.halo = int(self.meta["halo"])
         self.batch = int(self.meta["batch"])
         self.upscale = int(self.meta["upscale"])
+        self.u8_io = self.meta.get("io") == "u8"
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
+        if self.u8_io:
+            if img.dtype != np.uint8:
+                img = np.clip(np.asarray(img, np.float32) * 255.0 + 0.5,
+                              0, 255).astype(np.uint8)
+            out = tiled_apply(
+                lambda t: self.engine.call(t),
+                jnp.asarray(img)[None], tile=self.tile, halo=self.halo,
+                scale=self.upscale, tile_batch=self.batch)
+            return np.asarray(out[0])
+        if img.dtype == np.uint8:
+            img = np.asarray(img, np.float32) / 255.0
         x = jnp.asarray(img[None], jnp.float32)
         out = tiled_apply(
             lambda t: self.engine.call(t.astype(jnp.bfloat16)),
