@@ -18,6 +18,61 @@ import jax.numpy as jnp
 from ..parallel.tiling import tiled_apply
 
 
+class EngineFaceRestorer:
+    """Fixed-size restorer engine (scripts/export_gfpgan.py) — the
+    TorchScript-parity serving path: a source-free artifact with the
+    weights and device-IO conversions baked in (api_plate_oto.py:336
+    loads torch.jit artifacts the same way).
+
+    Duck-compatible with Restorer's serving surface (`input_size`,
+    `restore_batch_u8`, `restore_batch`, `__call__`), so it slots into
+    ServiceCore(restorer=...) including micro-batching. Batches are
+    padded/chunked to the engine's frozen batch size.
+    """
+
+    def __init__(self, engine_dir: str):
+        with open(osp.join(engine_dir, "engine.json")) as f:
+            self.meta = json.load(f)
+        from jax import export as jexport
+        with open(osp.join(engine_dir, "engine.bin"), "rb") as f:
+            self.engine = jexport.deserialize(f.read())
+        shape = self.meta["input_shape"]
+        self.batch = int(shape[0])
+        self.input_size = (int(shape[1]), int(shape[2]))
+        self.out_min_max = tuple(self.meta.get("out_min_max", (-1, 1)))
+
+    def _call_chunked(self, imgs_u8: np.ndarray) -> np.ndarray:
+        n, b = imgs_u8.shape[0], self.batch
+        outs = []
+        for s in range(0, n, b):
+            chunk = imgs_u8[s:s + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            out = np.asarray(self.engine.call(jnp.asarray(chunk)))
+            outs.append(out[:b - pad] if pad else out)
+        return np.concatenate(outs, 0)
+
+    def restore_batch_u8(self, imgs: np.ndarray) -> np.ndarray:
+        """(N,H,W,3) RGB uint8 → (N,H,W,3) BGR uint8."""
+        if imgs.dtype != np.uint8:
+            raise TypeError(f"restore_batch_u8 expects uint8, got "
+                            f"{imgs.dtype}")
+        return self._call_chunked(imgs)
+
+    def restore_batch(self, imgs: np.ndarray) -> np.ndarray:
+        """(N,H,W,3) RGB float [0,1] → BGR uint8. The engine's IO is
+        uint8, so float inputs are quantized to 8 bits first (≤0.5/255
+        input error)."""
+        return self._call_chunked(
+            np.clip(np.asarray(imgs, np.float32) * 255.0 + 0.5,
+                    0, 255).astype(np.uint8))
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return self.restore_batch(img[None])[0]
+
+
 class EngineRestorer:
     """Callable: RGB (H,W,3) — uint8 [0,255] or float [0,1] — → uint8
     RGB ×upscale. With a u8-IO engine (export_restorer --u8-io) uint8

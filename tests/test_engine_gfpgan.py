@@ -1,0 +1,75 @@
+"""Exported GFPGAN engine (scripts/export_gfpgan.py +
+EngineFaceRestorer) — the TorchScript-parity serving artifact."""
+
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "scripts"))
+
+TINY_GFPGAN = dict(type="GFPGANv1OCR", input_width=64, input_height=64,
+                   num_style_feat=16, channel_multiplier=0.25, num_mlp=2,
+                   input_is_latent=True, different_w=True, narrow=0.5,
+                   sft_half=True)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    from export_gfpgan import build_engine
+    ser, meta, restorer = build_engine(net_opt=TINY_GFPGAN, batch=2)
+    d = tmp_path_factory.mktemp("gfpgan_engine")
+    (d / "engine.bin").write_bytes(ser)
+    (d / "engine.json").write_text(json.dumps(meta))
+    return str(d), restorer
+
+
+def test_engine_matches_live_restorer(built, rng):
+    from image_restoration_tpu.serve.engine_restorer import (
+        EngineFaceRestorer)
+    engine_dir, restorer = built
+    eng = EngineFaceRestorer(engine_dir)
+    assert eng.input_size == (64, 64) and eng.batch == 2
+    u8 = (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    want = restorer.restore_batch_u8(u8)
+    got = eng.restore_batch_u8(u8)
+    assert got.dtype == np.uint8
+    d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert d.max() <= 1, f"max dev {d.max()}"  # separate f32 compilation
+
+
+def test_engine_ragged_batch_chunking(built, rng):
+    from image_restoration_tpu.serve.engine_restorer import (
+        EngineFaceRestorer)
+    engine_dir, _ = built
+    eng = EngineFaceRestorer(engine_dir)
+    u8 = (rng.random((5, 64, 64, 3)) * 255).astype(np.uint8)  # 2+2+1(pad)
+    got = eng.restore_batch_u8(u8)
+    assert got.shape == (5, 64, 64, 3)
+    # each row must equal its own single-image restore (padding discarded)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            got[i], eng.restore_batch_u8(np.repeat(u8[i:i + 1], 2, 0))[0])
+
+
+def test_engine_slots_into_service_core(built, rng):
+    """Duck-compatibility: ServiceCore serves /Restore/ from the
+    source-free artifact, micro-batching included."""
+    from types import SimpleNamespace
+    from image_restoration_tpu.serve.api import ServiceCore
+    from image_restoration_tpu.serve.engine_restorer import (
+        EngineFaceRestorer)
+    import cv2
+
+    engine_dir, _ = built
+    eng = EngineFaceRestorer(engine_dir)
+    core = ServiceCore(pipeline=SimpleNamespace(car_restorer=eng),
+                       restorer=eng, microbatch=2)
+    assert core.device_io  # the engine exposes the u8 entry point
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    payload = core.restore(img)
+    out = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+    assert out.shape == (64, 64, 3)
+    core.batcher.stop()
