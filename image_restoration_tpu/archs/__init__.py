@@ -8,6 +8,8 @@ complete after `import image_restoration_tpu.archs`.
 
 from copy import deepcopy
 
+import jax.numpy as jnp
+
 from ..utils.registry import ARCH_REGISTRY
 
 from . import arch_util  # noqa: F401
@@ -55,6 +57,17 @@ def build_network(opt):
         # so batch stats are already global — SyncBN is inherent. The
         # axis_name field only matters for shard_map/pmap trainers.
         opt.pop("syncbn")
+    if isinstance(opt.get("dtype"), str):
+        # YAML spells dtypes as strings ("bf16", "float32"); flax modules
+        # want jnp dtypes.
+        opt["dtype"] = _DTYPE_ALIASES[opt["dtype"]]
     opt = {k: tuple(v) if isinstance(v, list) else v
            for k, v in opt.items()}
     return cls(**opt)
+
+
+_DTYPE_ALIASES = {
+    "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+    "f32": jnp.float32, "float32": jnp.float32, "fp32": jnp.float32,
+    "f16": jnp.float16, "float16": jnp.float16, "fp16": jnp.float16,
+}

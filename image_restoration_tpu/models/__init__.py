@@ -10,6 +10,7 @@ def register_all_models():
     """Import every trainer module so MODEL_REGISTRY is fully populated
     (deferred to avoid import cycles at package-import time)."""
     from . import sr_model  # noqa: F401
+    from . import distill_model  # noqa: F401
     from . import srgan_model  # noqa: F401
     from . import esrgan_model  # noqa: F401
     from . import gfpgan_model  # noqa: F401
