@@ -78,12 +78,13 @@ class DistillModel(SRModel):
         tx = self.tx_g
         ema_decay = self.ema_decay
         degrade = self.degrade_fn
-        net_g, net_t = self.net_g, self.net_t
+        net_t = self.net_t
+        fwd = self._g_forward()  # plain apply, or fake-quant under quant_opt
+        qat = getattr(self, "quant_opt", None)
+        qat_decay = (qat or {}).get("ema_decay", 0.99)
 
-        def loss_fn(params, params_t, lq, gt):
-            out = net_g.apply({"params": params}, lq)
-            if isinstance(out, tuple):
-                out = out[0]
+        def loss_fn(params, params_t, lq, gt, qscale):
+            out, batch_max = fwd(params, lq, qscale)
             t_out = net_t.apply({"params": params_t}, lq)
             if isinstance(t_out, tuple):
                 t_out = t_out[0]
@@ -105,7 +106,7 @@ class DistillModel(SRModel):
                 if l_s is not None:
                     total += l_s
                     losses["l_style"] = l_s
-            return total, losses
+            return total, (losses, batch_max)
 
         @jax.jit
         def step(state, batch, rng):
@@ -113,15 +114,20 @@ class DistillModel(SRModel):
                 lq, gt = degrade(rng, batch["gt"])
             else:
                 lq, gt = batch["lq"], batch["gt"]
-            (_, losses), grads = jax.value_and_grad(
+            qscale = state.get("qscale")
+            (_, (losses, batch_max)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state["params_g"],
-                                       state["params_t"], lq, gt)
+                                       state["params_t"], lq, gt, qscale)
             updates, opt_g = tx.update(grads, state["opt_g"],
                                        state["params_g"])
             params = optax.apply_updates(state["params_g"], updates)
             ema = self.ema_update(state["ema_g"], params, ema_decay)
             new_state = dict(state, params_g=params, ema_g=ema,
                              opt_g=opt_g, iter=state["iter"] + 1)
+            if qat:
+                from ..ops.qat import update_qscale
+                new_state["qscale"] = update_qscale(qscale, batch_max,
+                                                    qat_decay)
             return new_state, losses
 
         return step

@@ -58,9 +58,66 @@ class SRModel(BaseModel):
                 if train_opt.get("perceptual_opt") else None
             self.tx_g = self.make_optimizer("optim_g", params)
             self.state["opt_g"] = self.tx_g.init(params)
+            self._init_qat(train_opt)
             self.state = self.replicate(self.state)
             self.degrade_fn = None  # set by set_degradation_pipeline
             self._train_step = None
+
+    def _init_qat(self, train_opt):
+        """Optional quantization-aware training (train.quant_opt) — the
+        generator forward becomes the fake-quant twin of the int8 serving
+        graph (ops/qat.py) and EMA activation scales ride the state."""
+        raw = train_opt.get("quant_opt", None)
+        if raw is None:
+            self.quant_opt = None
+            return
+        # presence of the key enables QAT; store with defaults filled so
+        # the flag stays truthy even for an empty `quant_opt:` mapping
+        self.quant_opt = {"ema_decay": 0.99, **(raw or {})}
+        step_owner = type(self)._build_train_step.__qualname__.split(".")[0]
+        if step_owner not in ("SRModel", "DistillModel"):
+            raise ValueError(
+                f"quant_opt is not supported by {type(self).__name__} "
+                "(its train step does not thread the QAT scale state)")
+        net_opt = self.opt["network_g"]
+        if net_opt["type"] != "SRVGGNetCompact" or \
+                net_opt.get("act_type", "prelu") != "prelu":
+            raise ValueError(
+                "quant_opt requires network_g: SRVGGNetCompact with prelu "
+                f"(the int8 serving arch); got {net_opt['type']}")
+        self._qat_num_conv = net_opt.get("num_conv", 16)
+        self._qat_upscale = net_opt.get("upscale", 4)
+        self.state["qscale"] = jnp.zeros(self._qat_num_conv + 3,
+                                         jnp.float32)
+
+    def _g_forward(self):
+        """The generator forward the train step differentiates: either the
+        plain flax apply, or (under quant_opt) the fake-quant serving twin.
+        Returns fn(params, lq, qscale) -> (out, batch_max-or-None)."""
+        net_g = self.net_g
+        if getattr(self, "quant_opt", None):
+            from ..ops.qat import qat_srvgg_forward
+            num_conv, upscale = self._qat_num_conv, self._qat_upscale
+
+            def fwd(params, lq, qscale):
+                return qat_srvgg_forward(params, lq, qscale, num_conv,
+                                         upscale)
+            return fwd
+
+        def fwd(params, lq, qscale):
+            out = net_g.apply({"params": params}, lq)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out, None
+        return fwd
+
+    def export_quantized(self, pack: int = 2, use_ema: bool = True):
+        """QAT state -> the int8 serving pytree (ops/quantized_inference).
+        Call after training with quant_opt enabled."""
+        from ..ops.qat import export_int8
+        params = self.state["ema_g" if use_ema else "params_g"]
+        return export_int8(params, self.state["qscale"], self._qat_num_conv,
+                           pack=pack)
 
     def set_degradation_pipeline(self, degrade_fn):
         self.degrade_fn = degrade_fn
@@ -74,11 +131,12 @@ class SRModel(BaseModel):
         tx = self.tx_g
         ema_decay = self.ema_decay
         degrade = self.degrade_fn
+        fwd = self._g_forward()
+        qat = getattr(self, "quant_opt", None)
+        qat_decay = (qat or {}).get("ema_decay", 0.99)
 
-        def loss_fn(params, lq, gt):
-            out = self.net_g.apply({"params": params}, lq)
-            if isinstance(out, tuple):
-                out = out[0]
+        def loss_fn(params, lq, gt, qscale):
+            out, batch_max = fwd(params, lq, qscale)
             total = 0.0
             losses = {}
             if cri_pix is not None:
@@ -93,7 +151,7 @@ class SRModel(BaseModel):
                 if l_s is not None:
                     total += l_s
                     losses["l_style"] = l_s
-            return total, losses
+            return total, (losses, batch_max)
 
         # optional static train-mask (EDVR TSA warmup): False leaves get
         # zero grads — trace-time constant, so the masked variant compiles
@@ -106,8 +164,9 @@ class SRModel(BaseModel):
                 lq, gt = degrade(rng, batch["gt"])
             else:
                 lq, gt = batch["lq"], batch["gt"]
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params_g"], lq, gt)
+            qscale = state.get("qscale")
+            (_, (losses, batch_max)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params_g"], lq, gt, qscale)
             if grad_mask is not None:
                 grads = jax.tree.map(
                     lambda g, m: g if m else jnp.zeros_like(g),
@@ -118,6 +177,10 @@ class SRModel(BaseModel):
             ema = self.ema_update(state["ema_g"], params, ema_decay)
             new_state = dict(state, params_g=params, ema_g=ema,
                              opt_g=opt_g, iter=state["iter"] + 1)
+            if qat:
+                from ..ops.qat import update_qscale
+                new_state["qscale"] = update_qscale(qscale, batch_max,
+                                                    qat_decay)
             return new_state, losses
 
         return step
