@@ -60,7 +60,13 @@ def build_network(opt):
     if isinstance(opt.get("dtype"), str):
         # YAML spells dtypes as strings ("bf16", "float32"); flax modules
         # want jnp dtypes.
-        opt["dtype"] = _DTYPE_ALIASES[opt["dtype"]]
+        try:
+            opt["dtype"] = _DTYPE_ALIASES[opt["dtype"]]
+        except KeyError:
+            raise ValueError(
+                f"unknown dtype {opt['dtype']!r} for network type "
+                f"{network_type!r}; valid spellings: "
+                f"{sorted(_DTYPE_ALIASES)}") from None
     opt = {k: tuple(v) if isinstance(v, list) else v
            for k, v in opt.items()}
     return cls(**opt)

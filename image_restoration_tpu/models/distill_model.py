@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..losses import build_loss
 from ..utils.registry import MODEL_REGISTRY
@@ -50,16 +49,37 @@ class DistillModel(SRModel):
         params_t = self.init_params(self.net_t, example)
 
         pre_t = opt["path"].get("pretrain_network_t")
-        if pre_t and pre_t.endswith((".pth", ".pt")):
-            params_t = self.load_pretrain_torch(
-                self.net_t, opt["network_t"]["type"], params_t, pre_t,
-                opt["path"].get("param_key_t", "params"))
+        if pre_t:
+            import os
+            if pre_t.endswith((".pth", ".pt")):
+                params_t = self.load_pretrain_torch(
+                    self.net_t, opt["network_t"]["type"], params_t, pre_t,
+                    opt["path"].get("param_key_t", "params"))
+            elif os.path.isdir(pre_t):
+                # orbax checkpoint dir of an in-framework teacher run
+                import os.path as osp
+                import orbax.checkpoint as ocp
+                restored = ocp.StandardCheckpointer().restore(
+                    osp.abspath(pre_t))
+                key = opt["path"].get("param_key_t", "params")
+                params_t = restored.get(
+                    "ema_g" if key in ("params_ema", "ema_g") else
+                    "params_g") or restored["params_g"]
+            else:
+                raise ValueError(
+                    f"pretrain_network_t={pre_t!r} is neither a torch "
+                    ".pth/.pt file nor an orbax checkpoint dir — refusing "
+                    "to distill from a random-init teacher")
 
         self.state["params_t"] = params_t
         self.state = self.replicate(self.state)
 
         if self.is_train:
             train_opt = opt.get("train", {})
+            if "distill_opt" not in train_opt:
+                raise ValueError(
+                    "DistillModel requires train.distill_opt (the "
+                    "teacher-supervision loss)")
             self.cri_distill = build_loss(train_opt["distill_opt"])
 
     def set_teacher_params(self, params_t):
@@ -71,63 +91,17 @@ class DistillModel(SRModel):
 
     # ------------------------------------------------------------- train
 
-    def _build_train_step(self):
-        cri_pix = self.cri_pix
-        cri_perceptual = self.cri_perceptual
-        cri_distill = self.cri_distill
-        tx = self.tx_g
-        ema_decay = self.ema_decay
-        degrade = self.degrade_fn
-        net_t = self.net_t
-        fwd = self._g_forward()  # plain apply, or fake-quant under quant_opt
-        qat = getattr(self, "quant_opt", None)
-        qat_decay = (qat or {}).get("ema_decay", 0.99)
+    def _extra_loss(self):
+        """SRModel train-step hook: the teacher term. The teacher params
+        live in state['params_t'] and enter the jitted step as an
+        ARGUMENT; stop_gradient keeps them bit-frozen."""
+        cri_distill, net_t = self.cri_distill, self.net_t
 
-        def loss_fn(params, params_t, lq, gt, qscale):
-            out, batch_max = fwd(params, lq, qscale)
+        def fn(out, lq, params_t):
             t_out = net_t.apply({"params": params_t}, lq)
             if isinstance(t_out, tuple):
                 t_out = t_out[0]
             t_out = jax.lax.stop_gradient(t_out.astype(out.dtype))
-            total = 0.0
-            losses = {}
-            l_distill = cri_distill(out, t_out)
-            total += l_distill
-            losses["l_distill"] = l_distill
-            if cri_pix is not None:
-                l_pix = cri_pix(out, gt)
-                total += l_pix
-                losses["l_pix"] = l_pix
-            if cri_perceptual is not None:
-                l_p, l_s = cri_perceptual(out, gt)
-                if l_p is not None:
-                    total += l_p
-                    losses["l_percep"] = l_p
-                if l_s is not None:
-                    total += l_s
-                    losses["l_style"] = l_s
-            return total, (losses, batch_max)
+            return {"l_distill": cri_distill(out, t_out)}
 
-        @jax.jit
-        def step(state, batch, rng):
-            if degrade is not None:
-                lq, gt = degrade(rng, batch["gt"])
-            else:
-                lq, gt = batch["lq"], batch["gt"]
-            qscale = state.get("qscale")
-            (_, (losses, batch_max)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params_g"],
-                                       state["params_t"], lq, gt, qscale)
-            updates, opt_g = tx.update(grads, state["opt_g"],
-                                       state["params_g"])
-            params = optax.apply_updates(state["params_g"], updates)
-            ema = self.ema_update(state["ema_g"], params, ema_decay)
-            new_state = dict(state, params_g=params, ema_g=ema,
-                             opt_g=opt_g, iter=state["iter"] + 1)
-            if qat:
-                from ..ops.qat import update_qscale
-                new_state["qscale"] = update_qscale(qscale, batch_max,
-                                                    qat_decay)
-            return new_state, losses
-
-        return step
+        return "params_t", fn

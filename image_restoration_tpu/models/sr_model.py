@@ -74,8 +74,10 @@ class SRModel(BaseModel):
         # presence of the key enables QAT; store with defaults filled so
         # the flag stays truthy even for an empty `quant_opt:` mapping
         self.quant_opt = {"ema_decay": 0.99, **(raw or {})}
-        step_owner = type(self)._build_train_step.__qualname__.split(".")[0]
-        if step_owner not in ("SRModel", "DistillModel"):
+        if type(self)._build_train_step is not SRModel._build_train_step:
+            # subclasses with their own step (SRGAN/ESRGAN/...) don't
+            # thread the QAT scale state; reject rather than silently
+            # training float
             raise ValueError(
                 f"quant_opt is not supported by {type(self).__name__} "
                 "(its train step does not thread the QAT scale state)")
@@ -114,10 +116,23 @@ class SRModel(BaseModel):
     def export_quantized(self, pack: int = 2, use_ema: bool = True):
         """QAT state -> the int8 serving pytree (ops/quantized_inference).
         Call after training with quant_opt enabled."""
+        if not getattr(self, "quant_opt", None):
+            raise RuntimeError(
+                "export_quantized requires training with train.quant_opt "
+                "(there are no learned activation scales to export); for "
+                "a float model use the PTQ path "
+                "(ops/quantized_inference.calibrate_srvgg_act_scales)")
         from ..ops.qat import export_int8
         params = self.state["ema_g" if use_ema else "params_g"]
         return export_int8(params, self.state["qscale"], self._qat_num_conv,
                            pack=pack)
+
+    def _extra_loss(self):
+        """Hook for subclass loss terms needing extra non-optimized state:
+        return (state_key, fn(out, lq, extra_params) -> loss_dict), or
+        None. Used by DistillModel (frozen-teacher loss) so one train-step
+        implementation serves both trainers."""
+        return None
 
     def set_degradation_pipeline(self, degrade_fn):
         self.degrade_fn = degrade_fn
@@ -134,11 +149,17 @@ class SRModel(BaseModel):
         fwd = self._g_forward()
         qat = getattr(self, "quant_opt", None)
         qat_decay = (qat or {}).get("ema_decay", 0.99)
+        extra = self._extra_loss()
+        extra_key, extra_fn = extra if extra else (None, None)
 
-        def loss_fn(params, lq, gt, qscale):
+        def loss_fn(params, extra_params, lq, gt, qscale):
             out, batch_max = fwd(params, lq, qscale)
             total = 0.0
             losses = {}
+            if extra_fn is not None:
+                for name, val in extra_fn(out, lq, extra_params).items():
+                    total += val
+                    losses[name] = val
             if cri_pix is not None:
                 l_pix = cri_pix(out, gt)
                 total += l_pix
@@ -165,8 +186,10 @@ class SRModel(BaseModel):
             else:
                 lq, gt = batch["lq"], batch["gt"]
             qscale = state.get("qscale")
+            extra_params = state[extra_key] if extra_key else None
             (_, (losses, batch_max)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params_g"], lq, gt, qscale)
+                loss_fn, has_aux=True)(state["params_g"], extra_params,
+                                       lq, gt, qscale)
             if grad_mask is not None:
                 grads = jax.tree.map(
                     lambda g, m: g if m else jnp.zeros_like(g),
@@ -197,17 +220,32 @@ class SRModel(BaseModel):
 
     def test(self, lq):
         if not hasattr(self, "_test_fn") or self._test_fn is None:
-            stats = getattr(self, "stats_g", None)
+            self._test_uses_qat = bool(getattr(self, "quant_opt", None))
+            if self._test_uses_qat:
+                # validate what will be DEPLOYED: the fake-quant twin of
+                # the int8 serving graph with the learned scales, so
+                # checkpoint selection tracks the exported model, not the
+                # drifting float net
+                from ..ops.qat import qat_srvgg_forward
+                nc, up = self._qat_num_conv, self._qat_upscale
 
-            def _apply(p, x):
-                variables = {"params": p}
-                if stats is not None:
-                    variables["batch_stats"] = stats
-                return self.net_g.apply(variables, x)
+                def _apply(p, x, qs):
+                    return qat_srvgg_forward(p, x, qs, nc, up)[0]
+            else:
+                stats = getattr(self, "stats_g", None)
+
+                def _apply(p, x):
+                    variables = {"params": p}
+                    if stats is not None:
+                        variables["batch_stats"] = stats
+                    return self.net_g.apply(variables, x)
 
             self._test_fn = jax.jit(_apply)
-        out = self._test_fn(self.state.get("ema_g", self.state["params_g"]),
-                            jnp.asarray(lq))
+        ema = self.state.get("ema_g", self.state["params_g"])
+        if getattr(self, "_test_uses_qat", False):
+            out = self._test_fn(ema, jnp.asarray(lq), self.state["qscale"])
+        else:
+            out = self._test_fn(ema, jnp.asarray(lq))
         if isinstance(out, tuple):
             out = out[0]
         return out

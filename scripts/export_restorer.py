@@ -48,25 +48,17 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
         quantized_srvgg_forward)
 
     size = tile + 2 * halo
-    net = build_network(dict(type="SRVGGNetCompact", num_feat=num_feat,
-                             num_conv=num_conv, upscale=upscale,
-                             dtype=jnp.bfloat16))
     rng = np.random.default_rng(seed)
-    x1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32), jnp.bfloat16)
-    variables = jax.jit(net.init)(jax.random.PRNGKey(seed), x1)
-    params = variables["params"]
-    if pth:
-        from image_restoration_tpu.convert.torch_import import (
-            import_network, load_pth)
-        params = import_network("SRVGGNetCompact", net,
-                                {"params": params},
-                                load_pth(pth))["params"]
 
     if qat_ckpt:
         # Export from a quantization-aware-training checkpoint
         # (train.quant_opt): the EMA params trained against the fake-quant
         # twin of this very serving graph, with the learned activation
         # scales standing in for the calibration batch (ops/qat.py).
+        # No net init / calibration needed — everything is in the ckpt.
+        if pth:
+            raise ValueError("--pth and --qat-ckpt are mutually exclusive "
+                             "(the checkpoint carries the weights)")
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(
             _osp.abspath(qat_ckpt))
@@ -74,12 +66,41 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
         qscale = np.asarray(restored["qscale"])
         assert len(qscale) == num_conv + 3, \
             f"checkpoint num_conv mismatch: {len(qscale) - 3} vs {num_conv}"
+        # the round-trip gate can't catch geometry lies (it compares the
+        # engine against the same serve fn), so validate against the
+        # checkpoint's own shapes
+        feat_ck = np.asarray(params["body_0"]["kernel"]).shape[-1]
+        out_ck = np.asarray(params["conv_last"]["kernel"]).shape[-1]
+        assert feat_ck == num_feat, \
+            f"checkpoint num_feat mismatch: {feat_ck} vs {num_feat}"
+        assert out_ck == 3 * upscale ** 2, \
+            (f"checkpoint upscale mismatch: conv_last has {out_ck} output "
+             f"channels, expected {3 * upscale ** 2} for upscale={upscale}")
         q = quantize_srvgg_params(params, [float(s) for s in qscale],
                                   num_conv, pack=2)
         int8 = True
 
         def serve(x):
             return quantized_srvgg_forward(q, x, num_conv, upscale, pack=2)
+
+        net = None
+    else:
+        net = build_network(dict(type="SRVGGNetCompact", num_feat=num_feat,
+                                 num_conv=num_conv, upscale=upscale,
+                                 dtype=jnp.bfloat16))
+        x1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32),
+                         jnp.bfloat16)
+        variables = jax.jit(net.init)(jax.random.PRNGKey(seed), x1)
+        params = variables["params"]
+        if pth:
+            from image_restoration_tpu.convert.torch_import import (
+                import_network, load_pth)
+            params = import_network("SRVGGNetCompact", net,
+                                    {"params": params},
+                                    load_pth(pth))["params"]
+
+    if qat_ckpt:
+        pass  # serve defined above
     elif int8:
         if calib is None:
             calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))

@@ -196,6 +196,19 @@ def test_qat_rejected_off_the_supported_trainers(tmp_path):
         build_model(dict(base, model_type="SRModel",
                          network_g={"type": "MSRResNet", "num_feat": 8,
                                     "num_block": 1, "upscale": 2}))
+    # a trainer with its own step (doesn't thread qscale) must reject
+    # even with the right arch
+    srgan = dict(base, model_type="SRGANModel",
+                 network_g={"type": "SRVGGNetCompact", "num_feat": 8,
+                            "num_conv": 2, "upscale": 2},
+                 network_d={"type": "VGGStyleDiscriminator128",
+                            "num_in_ch": 3, "num_feat": 8})
+    srgan["train"] = dict(base["train"],
+                          optim_d={"type": "Adam", "lr": 1e-3},
+                          gan_opt={"type": "GANLoss", "gan_type": "vanilla",
+                                   "loss_weight": 0.1})
+    with pytest.raises(ValueError, match="not supported"):
+        build_model(srgan)
 
 
 def test_qat_distill_combo(tmp_path):
