@@ -117,13 +117,21 @@ class BaseModel:
     def _ckpt_dir(self):
         return self.opt["path"].get("models", "experiments/models")
 
+    def _transient_state_keys(self):
+        """State entries __init__ reconstructs deterministically (e.g. a
+        frozen distillation teacher): excluded from checkpoints so an
+        immutable multi-MB tree isn't re-serialized on every save."""
+        return ()
+
     def save(self, current_iter: int):
         """Save full training state with orbax (ref :170-214,279-311)."""
         import orbax.checkpoint as ocp
         path = osp.abspath(osp.join(self._ckpt_dir(), f"ckpt_{current_iter}"))
         os.makedirs(osp.dirname(path), exist_ok=True)
         ckptr = ocp.StandardCheckpointer()
-        host_state = jax.tree.map(np.asarray, self.state)
+        skip = set(self._transient_state_keys())
+        host_state = jax.tree.map(np.asarray, {
+            k: v for k, v in self.state.items() if k not in skip})
         ckptr.save(path, host_state, force=True)
         ckptr.wait_until_finished()
         self.logger.info(f"Saved checkpoint {path}")
@@ -131,9 +139,13 @@ class BaseModel:
     def resume(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(osp.abspath(path),
-                                 jax.tree.map(np.asarray, self.state))
-        self.state = self.replicate(restored)
+        skip = set(self._transient_state_keys())
+        template = jax.tree.map(np.asarray, {
+            k: v for k, v in self.state.items() if k not in skip})
+        restored = ckptr.restore(osp.abspath(path), template)
+        merged = dict(self.state)  # transient keys keep their live values
+        merged.update(restored)
+        self.state = self.replicate(merged)
         self.logger.info(f"Resumed from {path} at iter "
                          f"{int(self.state.get('iter', 0))}")
 

@@ -71,6 +71,19 @@ class DistillModel(SRModel):
                     ".pth/.pt file nor an orbax checkpoint dir — refusing "
                     "to distill from a random-init teacher")
 
+        # a falsy path (None / ~ / "") means no teacher was configured;
+        # _extra_loss refuses to build a train step until one is
+        # installed (set_teacher_params), so a 200k-iter run can never
+        # silently distill toward a random-init teacher's noise.
+        # train.allow_random_teacher opts out explicitly (smoke tests).
+        self._teacher_loaded = bool(pre_t)
+        if not self._teacher_loaded and \
+                opt.get("train", {}).get("allow_random_teacher"):
+            self.logger.warning(
+                "DistillModel: allow_random_teacher is set — training "
+                "against a RANDOM-INIT teacher (smoke-test mode)")
+            self._teacher_loaded = True
+
         self.state["params_t"] = params_t
         self.state = self.replicate(self.state)
 
@@ -82,11 +95,18 @@ class DistillModel(SRModel):
                     "teacher-supervision loss)")
             self.cri_distill = build_loss(train_opt["distill_opt"])
 
+    def _transient_state_keys(self):
+        # the frozen teacher is reconstructed by __init__ from
+        # pretrain_network_t; re-serializing its bit-identical tree on
+        # every save would add ~67 MB (RRDB-23) per checkpoint
+        return ("params_t",)
+
     def set_teacher_params(self, params_t):
         """Install teacher weights programmatically (e.g. the live
         ``state['ema_g']`` of a just-trained SRModel)."""
         self.state["params_t"] = params_t
         self.state = self.replicate(self.state)
+        self._teacher_loaded = True
         self._train_step = None
 
     # ------------------------------------------------------------- train
@@ -95,6 +115,13 @@ class DistillModel(SRModel):
         """SRModel train-step hook: the teacher term. The teacher params
         live in state['params_t'] and enter the jitted step as an
         ARGUMENT; stop_gradient keeps them bit-frozen."""
+        if not self._teacher_loaded:
+            raise ValueError(
+                "DistillModel has no teacher weights: set "
+                "path.pretrain_network_t (a torch .pth/.pt or an orbax "
+                "checkpoint dir) or call set_teacher_params() before "
+                "training — refusing to distill from a random-init "
+                "teacher")
         cri_distill, net_t = self.cri_distill, self.net_t
 
         def fn(out, lq, params_t):

@@ -85,8 +85,10 @@ class SRModel(BaseModel):
         if net_opt["type"] != "SRVGGNetCompact" or \
                 net_opt.get("act_type", "prelu") != "prelu":
             raise ValueError(
-                "quant_opt requires network_g: SRVGGNetCompact with prelu "
-                f"(the int8 serving arch); got {net_opt['type']}")
+                "quant_opt requires network_g: SRVGGNetCompact with "
+                "act_type prelu (the int8 serving arch); got "
+                f"type={net_opt['type']} "
+                f"act_type={net_opt.get('act_type', 'prelu')}")
         self._qat_num_conv = net_opt.get("num_conv", 16)
         self._qat_upscale = net_opt.get("upscale", 4)
         self.state["qscale"] = jnp.zeros(self._qat_num_conv + 3,

@@ -48,11 +48,19 @@ def fake_quant_act(x: jax.Array, scale: jax.Array) -> jax.Array:
 
     Falls back to the tensor's own dynamic |max| while ``scale`` is
     still zero (un-initialized EMA).
+
+    The straight-through gradient is GATED to the pass band: elements
+    clipped to ±127·s forward the saturated value and receive zero
+    gradient (torch FakeQuantize / TF FakeQuantWithMinMaxVars
+    semantics) — an identity gradient there would push weights in
+    directions with no forward effect and destabilize QAT whenever a
+    batch max exceeds the EMA-tracked scale.
     """
     dyn = jax.lax.stop_gradient(jnp.max(jnp.abs(x))) + 1e-12
     s = jnp.where(scale > 0, scale, dyn) / 127.0
     q = jnp.clip(jnp.round(x / s), -127, 127) * s
-    return _ste(x, q)
+    in_band = jnp.abs(x) <= 127.0 * s
+    return jnp.where(in_band, _ste(x, q), jax.lax.stop_gradient(q))
 
 
 def fake_quant_weight(w: jax.Array) -> jax.Array:
@@ -128,4 +136,10 @@ def export_int8(params: Dict, qscale, num_conv: int, pack: int = 2) -> Dict:
     for the calibration batch)."""
     import numpy as np
     scales = [float(s) for s in np.asarray(qscale)]
+    if min(scales) <= 0.0:
+        raise ValueError(
+            f"qscale contains untrained (<= 0) activation scales "
+            f"{scales}: run at least one optimize_parameters step with "
+            "train.quant_opt before exporting (the EMA scales are only "
+            "observed during training)")
     return quantize_srvgg_params(params, scales, num_conv, pack=pack)

@@ -59,6 +59,11 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
         if pth:
             raise ValueError("--pth and --qat-ckpt are mutually exclusive "
                              "(the checkpoint carries the weights)")
+        if not int8:
+            raise ValueError("--bf16 conflicts with --qat-ckpt: a QAT "
+                             "checkpoint is trained for the int8 serving "
+                             "graph; drop --bf16 (or export the float EMA "
+                             "params via the regular path)")
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(
             _osp.abspath(qat_ckpt))
@@ -66,6 +71,10 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
         qscale = np.asarray(restored["qscale"])
         assert len(qscale) == num_conv + 3, \
             f"checkpoint num_conv mismatch: {len(qscale) - 3} vs {num_conv}"
+        if float(qscale.min()) <= 0.0:
+            raise ValueError(
+                "checkpoint qscale contains untrained (<= 0) activation "
+                "scales — it was saved before any QAT training step")
         # the round-trip gate can't catch geometry lies (it compares the
         # engine against the same serve fn), so validate against the
         # checkpoint's own shapes
@@ -78,12 +87,10 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
              f"channels, expected {3 * upscale ** 2} for upscale={upscale}")
         q = quantize_srvgg_params(params, [float(s) for s in qscale],
                                   num_conv, pack=2)
-        int8 = True
 
         def serve(x):
             return quantized_srvgg_forward(q, x, num_conv, upscale, pack=2)
 
-        net = None
     else:
         net = build_network(dict(type="SRVGGNetCompact", num_feat=num_feat,
                                  num_conv=num_conv, upscale=upscale,
@@ -98,26 +105,26 @@ def build_engine(num_feat=64, num_conv=32, upscale=4, tile=512, halo=8,
             params = import_network("SRVGGNetCompact", net,
                                     {"params": params},
                                     load_pth(pth))["params"]
+        if int8:
+            if calib is None:
+                calib = jnp.asarray(rng.random((2, 128, 128, 3),
+                                               np.float32))
+            scales = jax.device_get(jax.jit(
+                lambda p, x: calibrate_srvgg_act_scales(p, x, num_conv))(
+                jax.tree.map(lambda a: a.astype(jnp.float32), params),
+                calib))
+            q = quantize_srvgg_params(jax.device_get(params),
+                                      [float(s) for s in scales],
+                                      num_conv, pack=2)
 
-    if qat_ckpt:
-        pass  # serve defined above
-    elif int8:
-        if calib is None:
-            calib = jnp.asarray(rng.random((2, 128, 128, 3), np.float32))
-        scales = jax.device_get(jax.jit(
-            lambda p, x: calibrate_srvgg_act_scales(p, x, num_conv))(
-            jax.tree.map(lambda a: a.astype(jnp.float32), params), calib))
-        q = quantize_srvgg_params(jax.device_get(params),
-                                  [float(s) for s in scales],
-                                  num_conv, pack=2)
+            def serve(x):
+                return quantized_srvgg_forward(q, x, num_conv, upscale,
+                                               pack=2)
+        else:
+            packed = pack_srvgg_params(params, num_conv)
 
-        def serve(x):
-            return quantized_srvgg_forward(q, x, num_conv, upscale, pack=2)
-    else:
-        packed = pack_srvgg_params(params, num_conv)
-
-        def serve(x):
-            return packed_srvgg_forward(packed, x, num_conv, upscale)
+            def serve(x):
+                return packed_srvgg_forward(packed, x, num_conv, upscale)
 
     if io == "u8":
         inner = serve

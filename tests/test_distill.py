@@ -36,11 +36,63 @@ def _tiny_opt(tmp_path, pixel=True):
                           "gamma": 0.5},
             "total_iter": 1000,
             "ema_decay": 0.9,
+            # these tests exercise the MECHANICS at a random teacher
+            "allow_random_teacher": True,
             "distill_opt": {"type": "L1Loss", "loss_weight": 1.0},
             **({"pixel_opt": {"type": "L1Loss", "loss_weight": 0.5}}
                if pixel else {}),
         },
     }
+
+
+def test_distill_refuses_random_init_teacher(tmp_path):
+    """Without pretrain_network_t / set_teacher_params /
+    allow_random_teacher, the first train step refuses loudly instead of
+    silently distilling toward a random teacher's noise."""
+    from image_restoration_tpu.models import build_model
+
+    opt = _tiny_opt(tmp_path)
+    del opt["train"]["allow_random_teacher"]
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    batch = {"lq": rng.random((2, 8, 8, 3)).astype(np.float32),
+             "gt": rng.random((2, 16, 16, 3)).astype(np.float32)}
+    with pytest.raises(ValueError, match="random-init teacher"):
+        model.optimize_parameters(1, batch, jax.random.PRNGKey(0))
+    # installing a teacher programmatically unblocks it
+    model.set_teacher_params(model.state["params_t"])
+    logs = model.optimize_parameters(1, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(logs["l_distill"])
+
+
+def test_distill_checkpoint_excludes_frozen_teacher(tmp_path):
+    """The bit-frozen teacher is reconstructed by __init__, so save()
+    must not re-serialize it; resume() must restore training state and
+    keep the live teacher."""
+    from image_restoration_tpu.models import build_model
+
+    model = build_model(_tiny_opt(tmp_path))
+    rng = np.random.default_rng(0)
+    batch = {"lq": rng.random((2, 8, 8, 3)).astype(np.float32),
+             "gt": rng.random((2, 16, 16, 3)).astype(np.float32)}
+    model.optimize_parameters(1, batch, jax.random.PRNGKey(0))
+    model.save(1)
+    ckpt = tmp_path / "models" / "ckpt_1"
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(str(ckpt))
+    assert "params_t" not in restored
+    assert "params_g" in restored and "qscale" not in restored
+
+    model2 = build_model(_tiny_opt(tmp_path))
+    t_live = jax.tree.map(np.asarray, model2.state["params_t"])
+    model2.resume(str(ckpt))
+    assert int(model2.state["iter"]) == 1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 t_live, jax.tree.map(np.asarray,
+                                      model2.state["params_t"]))
+    # training continues from the restored state
+    logs = model2.optimize_parameters(2, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(logs["l_distill"])
 
 
 def test_distill_teacher_frozen_and_loss_decreases(tmp_path):
@@ -125,6 +177,7 @@ def test_distill_train_pipeline(tmp_path):
     # keep the shipped `dtype: bf16` teacher — covers the YAML dtype alias
     cfg["network_t"].update(num_feat=8, num_block=1, num_grow_ch=4, scale=2)
     cfg["path"]["pretrain_network_t"] = None
+    cfg["train"]["allow_random_teacher"] = True
     cfg["train"]["total_iter"] = 2
     cfg["logger"]["save_checkpoint_freq"] = 2
     cfg["logger"]["use_tb_logger"] = False

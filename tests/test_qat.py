@@ -82,6 +82,43 @@ def test_qat_gradients_flow():
         assert v > 0, path
 
 
+def test_qat_ste_gradient_gated_to_pass_band():
+    """Saturated activations (|x| above the clip band) must get ZERO
+    gradient through fake_quant_act — an identity gradient there pushes
+    weights in directions with no forward effect (torch FakeQuantize
+    semantics)."""
+    from image_restoration_tpu.ops.qat import fake_quant_act
+
+    scale = jnp.asarray(1.0)  # clip band = ±1.0 (127 * 1/127)
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.9, 3.0])
+
+    def f(x):
+        return jnp.sum(fake_quant_act(x, scale))
+
+    g = np.asarray(jax.grad(f)(x))
+    np.testing.assert_array_equal(g, [0.0, 1.0, 1.0, 1.0, 0.0])
+    # forward still clips to the band edge
+    y = np.asarray(fake_quant_act(x, scale))
+    np.testing.assert_allclose(y[[0, 4]], [-1.0, 1.0])
+    # with an uninitialized (zero) scale the dynamic fallback covers the
+    # whole tensor, so nothing is gated
+    g0 = np.asarray(jax.grad(
+        lambda x: jnp.sum(fake_quant_act(x, jnp.asarray(0.0))))(x))
+    np.testing.assert_array_equal(g0, np.ones(5))
+
+
+def test_qat_export_refuses_untrained_scales():
+    """export_int8 on an all-zero qscale (no training step ever ran) must
+    fail with a clear message, not a ZeroDivisionError deep in
+    quantize_srvgg_params."""
+    from image_restoration_tpu.ops.qat import export_int8
+
+    num_conv = 2
+    _, params = _srvgg_params(num_conv=num_conv)
+    with pytest.raises(ValueError, match="untrained"):
+        export_int8(params, np.zeros(num_conv + 3), num_conv)
+
+
 def _qat_model(tmp_path, num_conv=2, lr=2e-3):
     from image_restoration_tpu.models import build_model
     return build_model({
@@ -173,6 +210,12 @@ def test_qat_checkpoint_exports_serving_engine(tmp_path):
     # the engine really carries the TRAINED scales: its quantize head
     # differs from a fresh-calibration export of random params
     assert np.isfinite(got).all()
+    # --bf16 silently overriding a QAT export would deploy the wrong
+    # arithmetic; it must be rejected like the --pth conflict
+    with pytest.raises(ValueError, match="bf16"):
+        build_engine(num_feat=8, num_conv=num_conv, upscale=2, tile=8,
+                     halo=2, batch=2, int8=False,
+                     qat_ckpt=str(tmp_path / "exp" / "ckpt_3"))
 
 
 def test_qat_rejected_off_the_supported_trainers(tmp_path):
@@ -229,6 +272,7 @@ def test_qat_distill_combo(tmp_path):
                   "scheduler": {"type": "MultiStepLR",
                                 "milestones": [1000], "gamma": 0.5},
                   "total_iter": 1000, "ema_decay": 0.9,
+                  "allow_random_teacher": True,
                   "distill_opt": {"type": "L1Loss", "loss_weight": 1.0},
                   "quant_opt": {"ema_decay": 0.9}},
     })
