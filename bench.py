@@ -230,7 +230,7 @@ def echo_artifacts():
     one partial/stale artifact must not silence the rest of the tail."""
     for section in (_echo_train, _echo_convergence, _echo_detector_conv,
                     _echo_e2e, _echo_ptq, _echo_rrdb, _echo_microbatch,
-                    _echo_video):
+                    _echo_video, _echo_qat_distill):
         try:
             section()
         except Exception as e:
@@ -354,6 +354,31 @@ def _echo_video():
                 + ", ".join(parts) + f" [measured {d['date']}]")
 
 
+def _echo_qat_distill():
+    qd = os.path.join(ASSETS, "qat_distill_bench.json")
+    if os.path.isfile(qd):
+        d = json.load(open(qd))
+        vp = d.get("qat_vs_ptq") or {}
+        if "qat_minus_ptq_db" in vp:
+            log(f"TRAIN QAT vs PTQ (served int8 val PSNR, "
+                f"{vp.get('iters')} iters same init/data): PTQ "
+                f"{vp.get('ptq_int8_psnr')} dB vs QAT "
+                f"{vp.get('qat_int8_psnr')} dB "
+                f"({vp['qat_minus_ptq_db']:+} dB) [measured {d['date']}]")
+        rows = (d.get("qat_step") or {}).get("rows") or []
+        if len(rows) == 2:
+            log(f"TRAIN QAT step overhead: {rows[0]['ms_per_step']} -> "
+                f"{rows[1]['ms_per_step']} ms/step "
+                f"({d['qat_step'].get('overhead_pct')}%) at bs="
+                f"{rows[0]['bs']} [measured {d['date']}]")
+        drows = (d.get("distill_step") or {}).get("rows") or []
+        if drows:
+            best = max(drows, key=lambda r: r["imgs_per_sec"])
+            log(f"TRAIN distill step (RRDB-23 bf16 teacher -> SRVGG): "
+                f"{best['imgs_per_sec']} imgs/s at bs={best['bs']} "
+                f"[measured {d['date']}]")
+
+
 QUEUE_BUDGET_S = 2400
 
 
@@ -417,6 +442,9 @@ def run_queued_measurements():
     if missing("detector_convergence.json"):
         jobs.append(("detector convergence",
                      lambda: run_script("bench_detector_convergence")))
+    if missing("qat_distill_bench.json"):
+        jobs.append(("QAT/distill trainers",
+                     lambda: run_script("bench_qat_distill")))
     if not jobs:
         return
 

@@ -139,8 +139,12 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
     return model
 
 
-def build_sr_trainer(batch, dtype=None, scale=4, gt_hw=256):
-    """SRVGG x4 L1 trainer + second-order Real-ESRGAN degradation."""
+def build_sr_trainer(batch, dtype=None, scale=4, gt_hw=256, num_feat=64,
+                     num_conv=32, quant=False, lr=2e-4):
+    """SRVGG x4 L1 trainer + second-order Real-ESRGAN degradation.
+
+    quant=True adds train.quant_opt (QAT: the step trains the fake-quant
+    twin of the int8 serving graph, ops/qat.py)."""
     from image_restoration_tpu.models import build_model
     from image_restoration_tpu.data.pipelines import (
         RealESRGANDegradationConfig, make_realesrgan_degradation)
@@ -152,15 +156,16 @@ def build_sr_trainer(batch, dtype=None, scale=4, gt_hw=256):
                  "visualization": "/tmp/bench_train/vis"},
         "logger": {"print_freq": 100},
         "model_type": "SRModel",
-        "network_g": dict(type="SRVGGNetCompact", num_feat=64, num_conv=32,
-                          upscale=scale, dtype=dtype),
+        "network_g": dict(type="SRVGGNetCompact", num_feat=num_feat,
+                          num_conv=num_conv, upscale=scale, dtype=dtype),
         "train": {
-            "optim_g": {"type": "Adam", "lr": 2e-4},
+            "optim_g": {"type": "Adam", "lr": lr},
             "scheduler": {"type": "MultiStepLR", "milestones": [400000],
                           "gamma": 0.5},
             "total_iter": 400000,
             "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
             "ema_decay": 0.999,
+            **({"quant_opt": {}} if quant else {}),
         },
     }
     model = build_model(opt)

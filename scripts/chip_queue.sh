@@ -24,5 +24,8 @@ timeout 2400 python scripts/bench_video.py 2>&1 | tail -5
 echo "== detector convergence (on-device synth scenes)"
 timeout 1800 python scripts/bench_detector_convergence.py 2>&1 | tail -8
 
+echo "== QAT/distill serving-aware trainers"
+timeout 2400 python scripts/bench_qat_distill.py 2>&1 | tail -8
+
 echo "== headline refresh"
 timeout 3600 python bench.py 2>&1 | tail -20

@@ -138,6 +138,27 @@ def main():
     else:
         add("Training", "detector convergence (engine-eval IoU)", "queued",
             "scripts/bench_detector_convergence.py")
+    qd = load("qat_distill_bench.json")
+    if qd:
+        vp = qd.get("qat_vs_ptq") or {}
+        if "qat_minus_ptq_db" in vp:
+            add("Training", f"QAT vs PTQ served-int8 val PSNR "
+                f"({vp.get('iters')} iters, same init/data)",
+                f"{vp.get('ptq_int8_psnr')} → {vp.get('qat_int8_psnr')} dB "
+                f"({vp['qat_minus_ptq_db']:+} dB)", qd["date"])
+        qs = (qd.get("qat_step") or {})
+        if len(qs.get("rows") or []) == 2:
+            add("Training", f"QAT step overhead (bs={qs['rows'][0]['bs']})",
+                f"{qs['rows'][0]['ms_per_step']} → "
+                f"{qs['rows'][1]['ms_per_step']} ms/step "
+                f"({qs.get('overhead_pct')}%)", qd["date"])
+        for r in (qd.get("distill_step") or {}).get("rows") or []:
+            add("Training", f"distill step RRDB-23→SRVGG bs={r['bs']}",
+                f"{r['imgs_per_sec']} imgs/s ({r['ms_per_step']} ms/step)",
+                qd["date"])
+    else:
+        add("Training", "QAT/distill trainer steps + QAT-vs-PTQ", "queued",
+            "scripts/bench_qat_distill.py")
 
     # ---- render
     out = ["# Measured benchmarks (auto-generated)",

@@ -49,6 +49,20 @@ SYNTH = {
                              "batched_n8": 11.5},
         "process_batch_real_wall_ms_per_image": {
             "batched_chunk8": 50.0, "per_image": 200.0, "note": "n"}},
+    "qat_distill_bench.json": {
+        "date": "2026-08-18", "timing": "on-chip scan",
+        "qat_step": {"config": "c", "overhead_pct": 12.0, "rows": [
+            {"mode": "float", "bs": 16, "ms_per_step": 30.0,
+             "imgs_per_sec": 530.0},
+            {"mode": "qat", "bs": 16, "ms_per_step": 33.6,
+             "imgs_per_sec": 470.0}]},
+        "qat_vs_ptq": {"iters": 600, "bs": 8, "config": "c", "val": "v",
+                       "float_psnr": 30.0, "ptq_int8_psnr": 29.0,
+                       "qat_int8_psnr": 29.5, "qat_float_psnr": 29.9,
+                       "qat_minus_ptq_db": 0.5, "float_arm_wall_s": 60.0,
+                       "qat_arm_wall_s": 70.0},
+        "distill_step": {"config": "c", "rows": [
+            {"bs": 16, "ms_per_step": 90.0, "imgs_per_sec": 178.0}]}},
 }
 
 
@@ -70,5 +84,6 @@ def test_echo_renders_all_artifact_schemas(tmp_path, monkeypatch, capsys):
     assert "artifact echo" not in err, err  # no per-section failures
     for token in ("TRAIN detector convergence", "VIDEO SR serving",
                   "SERVE micro-batching", "E2E process_batch wall",
-                  "E2E /Vehicle_Resolution_GFPGAN/"):
+                  "E2E /Vehicle_Resolution_GFPGAN/", "TRAIN QAT vs PTQ",
+                  "TRAIN QAT step overhead", "TRAIN distill step"):
         assert token in err, f"missing {token!r} in tail:\n{err}"

@@ -54,6 +54,8 @@ def test_runs_missing_jobs_in_priority_order(bench_mod, tmp_path,
              {"process_batch_real_wall_ms_per_image": {}}),
             ("bench_video", "video_bench.json", {"date": "t"}),
             ("bench_detector_convergence", "detector_convergence.json",
+             {"date": "t"}),
+            ("bench_qat_distill", "qat_distill_bench.json",
              {"date": "t"})]:
         monkeypatch.setitem(sys.modules, script, _fake_job(
             script, calls, str(tmp_path), artifact, payload))
@@ -61,7 +63,8 @@ def test_runs_missing_jobs_in_priority_order(bench_mod, tmp_path,
     bench_mod.run_queued_measurements()
     assert [c[0] for c in calls] == ["bench_microbatch", "bench_e2e",
                                      "bench_video",
-                                     "bench_detector_convergence"]
+                                     "bench_detector_convergence",
+                                     "bench_qat_distill"]
     # sys.argv was sanitized for the argparse-using scripts
     assert all(len(argv) == 1 for _, argv in calls)
     assert sys.argv  # restored
@@ -78,6 +81,7 @@ def test_partial_artifacts_skip_only_measured(bench_mod, tmp_path,
     # (missing the field); video missing -> e2e and video must run
     (tmp_path / "microbatch_bench.json").write_text("{}")
     (tmp_path / "detector_convergence.json").write_text("{}")
+    (tmp_path / "qat_distill_bench.json").write_text("{}")
     (tmp_path / "e2e_latency.json").write_text(
         json.dumps({"e2e_ms_per_image": {}}))
     calls = []
@@ -101,6 +105,7 @@ def test_corrupt_artifact_counts_as_unmeasured(bench_mod, tmp_path,
     (tmp_path / "e2e_latency.json").write_text(
         json.dumps({"process_batch_real_wall_ms_per_image": {}}))
     (tmp_path / "detector_convergence.json").write_text("{}")
+    (tmp_path / "qat_distill_bench.json").write_text("{}")
     (tmp_path / "video_bench.json").write_text('{"date": "t", "basi')
     calls = []
     monkeypatch.setitem(sys.modules, "bench_video", _fake_job(
@@ -135,6 +140,12 @@ def test_job_failure_does_not_abort_queue(bench_mod, tmp_path, monkeypatch):
                                   str(tmp_path),
                                   "detector_convergence.json",
                                   {"date": "t"}))
+    monkeypatch.setitem(sys.modules, "bench_qat_distill",
+                        _fake_job("bench_qat_distill", calls,
+                                  str(tmp_path),
+                                  "qat_distill_bench.json",
+                                  {"date": "t"}))
     bench_mod.run_queued_measurements()
     assert [c[0] for c in calls] == ["bench_e2e", "bench_video",
-                                     "bench_detector_convergence"]
+                                     "bench_detector_convergence",
+                                     "bench_qat_distill"]

@@ -24,6 +24,7 @@ def test_generate_benchmark_table(tmp_path):
     for artifact, row in [("video_bench.json", "video SR"),
                           ("microbatch_bench.json", "micro-batching"),
                           ("detector_convergence.json",
-                           "detector convergence")]:
+                           "detector convergence"),
+                          ("qat_distill_bench.json", "QAT")]:
         if not osp.isfile(osp.join(REPO, "docs", "assets", artifact)):
             assert "queued" in out and row in out
