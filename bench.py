@@ -379,7 +379,10 @@ def _echo_qat_distill():
                 f"[measured {d['date']}]")
 
 
-QUEUE_BUDGET_S = 2400
+# five queued jobs at ~10-20 min each on a cold compile cache; the queue
+# runs strictly AFTER the headline JSON and every job is SIGALRM-bounded,
+# so a bigger budget risks only diagnostics, never the scored result
+QUEUE_BUDGET_S = 3600
 
 
 def run_queued_measurements():
