@@ -301,6 +301,11 @@ def _echo_e2e():
             log(f"E2E process_batch wall: {pb['batched_chunk8']} ms/img "
                 f"chunk=8 vs {pb['per_image']} ms/img per-image "
                 f"[measured {d['date']}]")
+        geo = d.get("device_geometry") or {}
+        if "e2e_ms_per_image_bs8" in geo:
+            log(f"E2E device-geometry (ONE dispatch/chunk after detect): "
+                f"{geo['e2e_ms_per_image_bs8']} ms/img bs8, host reduced "
+                f"to {geo['host_ms_remaining']} ms [measured {d['date']}]")
 
 
 def _echo_ptq():
@@ -412,7 +417,7 @@ def run_queued_measurements():
     import bench as _bench_mod
     _bench_mod._GUARDED = True
 
-    def missing(name, field=None):
+    def missing(name, *fields):
         path = os.path.join(ASSETS, name)
         if not os.path.isfile(path):
             return True
@@ -422,7 +427,7 @@ def run_queued_measurements():
             # corrupt/truncated artifact (e.g. a prior run's alarm fired
             # mid-write) counts as unmeasured, not as done
             return True
-        return field not in d if field else False
+        return any(f not in d for f in fields)
 
     def run_script(modname):
         mod = __import__(modname)
@@ -437,7 +442,8 @@ def run_queued_measurements():
     if missing("microbatch_bench.json"):
         jobs.append(("microbatch serving",
                      lambda: run_script("bench_microbatch")))
-    if missing("e2e_latency.json", "process_batch_real_wall_ms_per_image"):
+    if missing("e2e_latency.json", "process_batch_real_wall_ms_per_image",
+               "device_geometry"):
         jobs.append(("E2E incl. process_batch",
                      lambda: run_script("bench_e2e")))
     if missing("video_bench.json"):

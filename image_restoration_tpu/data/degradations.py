@@ -514,52 +514,10 @@ def random_grayscale(key, img, gray_prob: float):
 # --------------------------------------------------- perspective roundtrip
 
 
-def _homography_from_points(src, dst):
-    """Solve the 8-dof homography mapping src→dst (4 points each, (4,2))."""
-    rows = []
-    rhs = []
-    for i in range(4):
-        x, y = src[i, 0], src[i, 1]
-        u, v = dst[i, 0], dst[i, 1]
-        rows.append(jnp.stack([x, y, 1.0, 0.0, 0.0, 0.0, -u * x, -u * y]))
-        rhs.append(u)
-        rows.append(jnp.stack([0.0, 0.0, 0.0, x, y, 1.0, -v * x, -v * y]))
-        rhs.append(v)
-    a = jnp.stack(rows)
-    b = jnp.stack(rhs)
-    h8 = jnp.linalg.solve(a, b)
-    return jnp.concatenate([h8, jnp.ones((1,))]).reshape(3, 3)
-
-
-def warp_perspective(img, h_mat):
-    """Bilinear inverse warp of (H,W,C) by 3×3 homography (dst→src uses
-    h⁻¹ sampling, like cv2.warpPerspective)."""
-    hh, ww, c = img.shape
-    hi = jnp.linalg.inv(h_mat)
-    gy, gx = jnp.meshgrid(jnp.arange(hh, dtype=jnp.float32),
-                          jnp.arange(ww, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(gx)
-    pts = jnp.stack([gx, gy, ones], axis=-1) @ hi.T
-    sx = pts[..., 0] / jnp.maximum(jnp.abs(pts[..., 2]), 1e-8) * \
-        jnp.sign(pts[..., 2])
-    sy = pts[..., 1] / jnp.maximum(jnp.abs(pts[..., 2]), 1e-8) * \
-        jnp.sign(pts[..., 2])
-
-    x0, y0 = jnp.floor(sx), jnp.floor(sy)
-    wx, wy = sx - x0, sy - y0
-
-    def gather(yi, xi):
-        inside = (yi >= 0) & (yi <= hh - 1) & (xi >= 0) & (xi <= ww - 1)
-        yc = jnp.clip(yi, 0, hh - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, ww - 1).astype(jnp.int32)
-        vals = img[yc, xc]
-        return vals * inside[..., None].astype(img.dtype)
-
-    v00, v01 = gather(y0, x0), gather(y0, x0 + 1)
-    v10, v11 = gather(y0 + 1, x0), gather(y0 + 1, x0 + 1)
-    wx, wy = wx[..., None], wy[..., None]
-    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
-            v10 * (1 - wx) * wy + v11 * wx * wy)
+# shared with the serving-side device geometry (ops/geometry.py); the
+# names stay exported here for back-compat with existing callers/tests
+from ..ops.geometry import (homography_from_points as  # noqa: E402
+                            _homography_from_points, warp_perspective)
 
 
 # perstranforms corner-band table (ref degradations.py:392-411): each of

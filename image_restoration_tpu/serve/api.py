@@ -54,14 +54,20 @@ class ServiceCore:
                  restorer=None, sr_engine=None,
                  microbatch: Optional[int] = None,
                  microbatch_wait_ms: float = 5.0,
-                 device_io: bool = True):
+                 device_io: bool = True, device_geometry: bool = False):
         """device_io routes /Restore//RestoreConcat/ through
         Restorer.restore_batch_u8: uint8 on the wire both ways,
         normalization + uint8 conversion on device (≤1 LSB vs the host
         float path; 4× less host↔device traffic and 4× smaller
-        micro-batch buffers). False = reference-exact host normalize."""
+        micro-batch buffers). False = reference-exact host normalize.
+
+        device_geometry additionally runs the /Vehicle_Resolution_GFPGAN/
+        pipeline's mask/crop/warp/paste/montage on device as ONE dispatch
+        per chunk (PlatePipeline device_geometry; cv2-equivalent up to
+        fixed-point rounding and the polygon-edge band)."""
         import os
-        self.pipeline = pipeline or PlatePipeline(device_io=device_io)
+        self.pipeline = pipeline or PlatePipeline(
+            device_io=device_io, device_geometry=device_geometry)
         self.restorer = restorer or self.pipeline.car_restorer
         # custom restorers (stubs, exported engines) may not implement the
         # device-IO entry point — fall back to the host float path
@@ -263,8 +269,13 @@ if __name__ == "__main__":
     ap.add_argument("--host-io", action="store_true",
                     help="normalize/convert on the host (reference-exact) "
                          "instead of inside the device graph")
+    ap.add_argument("--device-geometry", action="store_true",
+                    help="run the full-pipeline endpoint's crop/mask/warp/"
+                         "paste/montage on device (ONE dispatch per chunk "
+                         "after the detector)")
     a = ap.parse_args()
     run_server(a.host, a.port,
                core=ServiceCore(microbatch=a.microbatch,
                                 microbatch_wait_ms=a.microbatch_wait_ms,
-                                device_io=not a.host_io))
+                                device_io=not a.host_io,
+                                device_geometry=a.device_geometry))

@@ -205,9 +205,65 @@ def main():
         f"vs per-image process {wall_seq:.1f} ms/img wall "
         f"({wall_seq / wall_batch:.1f}x; dispatches/img 0.25 vs 3)")
 
+    # ---- device-geometry path: mask/crop/resize/restores/warp/paste/
+    # montage as ONE dispatch per chunk (serve/pipeline.py device_geometry,
+    # ops/geometry.py). Host keeps only JPEG decode + the initial resizes.
+    geo_pipe = PlatePipeline(detector=pipe.detector,
+                             plate_restorer=pipe.plate_restorer,
+                             car_restorer=pipe.car_restorer,
+                             device_geometry=True)
+    geo = {}
+    try:
+        if geo_pipe._geo_fused is None:
+            geo_pipe._geo_fused = geo_pipe._build_geo_fused()
+        fused_fn = geo_pipe._geo_fused
+        N = 8
+        canv8 = np.stack([cv2.resize(im, (t, t)) for im in imgs[:N]])
+        quads8 = np.stack([res[i]["quad"] for i in range(N)]).astype(
+            np.float32)
+        pp = geo_pipe.plate_restorer.variables["params"]
+        pc = geo_pipe.car_restorer.variables["params"]
+
+        def geo_apply(params, quads):
+            # data dependency via a negligible quad perturbation; the
+            # canvas batch rides as a (tiny, 1.5 MB) argument via params
+            pp_, pc_, canv_ = params
+            mont, _ = fused_fn(pp_, pc_, canv_, quads)
+            return jnp.mean(mont.astype(jnp.float32)) * 1e-6
+
+        ms_geo_8 = onchip_ms(
+            lambda params, q: geo_apply(params, q),
+            (pp, pc, jnp.asarray(canv8)), jnp.asarray(quads8),
+            iters=5, repeats=3)
+        geo_e2e = (ms_detect_N + ms_geo_8) / N + ms_resize
+        log(f"device-geometry fused dispatch bs={N}: {ms_geo_8:.2f} ms "
+            f"(= restores + all geometry + montage) → "
+            f"{geo_e2e:.2f} ms/img E2E (host keeps only the resizes)")
+
+        geo_pipe.process_batch(imgs[:8], chunk_size=8)  # warm
+        t0 = time.perf_counter()
+        res_geo = geo_pipe.process_batch(imgs, chunk_size=8)
+        wall_geo = (time.perf_counter() - t0) / N_REAL * 1e3
+        assert res_geo[0]["montage"].shape == (t, 6 * t, 3)
+        log(f"process_batch device-geometry wall: {wall_geo:.1f} ms/img "
+            f"(host path {wall_batch:.1f}; 1 fused dispatch per chunk "
+            f"after the detector)")
+        geo = {"onchip_fused_ms_bs8": round(ms_geo_8, 3),
+               "e2e_ms_per_image_bs8": round(geo_e2e, 2),
+               "host_ms_remaining": round(ms_resize, 3),
+               "process_batch_wall_ms_per_image": round(wall_geo, 2),
+               "note": "ONE dispatch per chunk after the detector: "
+                       "mask/crop/resize/restore×2/warp/paste/montage on "
+                       "device (ops/geometry.py); equivalence to the cv2 "
+                       "host stages regression-tested"}
+    except Exception as e:
+        log(f"device-geometry section failed: {type(e).__name__}: {e}")
+        geo = {"error": f"{type(e).__name__}: {e}"}
+
     out = {
         "date": time.strftime("%Y-%m-%d"),
         "image": os.path.basename(TEST_IMAGES[0]),
+        "device_geometry": geo,
         # which restore graph the device numbers were measured on:
         # device_io=True = restore_batch_u8 (uint8 wire, on-device
         # norm/convert); False = the host-normalize float graph

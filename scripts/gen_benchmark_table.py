@@ -106,6 +106,14 @@ def main():
         else:
             add("E2E product", "process_batch wall", "queued",
                 "scripts/bench_e2e.py")
+        geo = e2e.get("device_geometry") or {}
+        if "e2e_ms_per_image_bs8" in geo:
+            add("E2E product", "device-geometry (1 dispatch/chunk after "
+                "detect)", f"{geo['e2e_ms_per_image_bs8']} ms/img bs8, "
+                f"host {geo['host_ms_remaining']} ms", e2e["date"])
+        else:
+            add("E2E product", "device-geometry latency", "queued",
+                "scripts/bench_e2e.py (device_geometry section)")
 
     # ---- training
     tb = load("train_bench.json")

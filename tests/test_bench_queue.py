@@ -51,7 +51,8 @@ def test_runs_missing_jobs_in_priority_order(bench_mod, tmp_path,
                                          "lat_p50_ms": 1,
                                          "lat_p95_ms": 2}}}),
             ("bench_e2e", "e2e_latency.json",
-             {"process_batch_real_wall_ms_per_image": {}}),
+             {"process_batch_real_wall_ms_per_image": {},
+              "device_geometry": {}}),
             ("bench_video", "video_bench.json", {"date": "t"}),
             ("bench_detector_convergence", "detector_convergence.json",
              {"date": "t"}),
@@ -92,7 +93,8 @@ def test_partial_artifacts_skip_only_measured(bench_mod, tmp_path,
                               "detector_convergence.json")]:
         monkeypatch.setitem(sys.modules, script, _fake_job(
             script, calls, str(tmp_path), artifact,
-            {"process_batch_real_wall_ms_per_image": {}}))
+            {"process_batch_real_wall_ms_per_image": {},
+             "device_geometry": {}}))
     bench_mod.run_queued_measurements()
     assert [c[0] for c in calls] == ["bench_e2e", "bench_video"]
 
@@ -103,7 +105,8 @@ def test_corrupt_artifact_counts_as_unmeasured(bench_mod, tmp_path,
     must be re-measured, not treated as done."""
     (tmp_path / "microbatch_bench.json").write_text("{}")
     (tmp_path / "e2e_latency.json").write_text(
-        json.dumps({"process_batch_real_wall_ms_per_image": {}}))
+        json.dumps({"process_batch_real_wall_ms_per_image": {},
+                    "device_geometry": {}}))
     (tmp_path / "detector_convergence.json").write_text("{}")
     (tmp_path / "qat_distill_bench.json").write_text("{}")
     (tmp_path / "video_bench.json").write_text('{"date": "t", "basi')
@@ -131,7 +134,8 @@ def test_job_failure_does_not_abort_queue(bench_mod, tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "bench_microbatch", bad)
     monkeypatch.setitem(sys.modules, "bench_e2e", _fake_job(
         "bench_e2e", calls, str(tmp_path), "e2e_latency.json",
-        {"process_batch_real_wall_ms_per_image": {}}))
+        {"process_batch_real_wall_ms_per_image": {},
+         "device_geometry": {}}))
     monkeypatch.setitem(sys.modules, "bench_video", _fake_job(
         "bench_video", calls, str(tmp_path), "video_bench.json",
         {"date": "t"}))

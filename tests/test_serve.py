@@ -36,6 +36,87 @@ def pipeline():
                         car_restorer=restorer)
 
 
+@pytest.fixture(scope="module")
+def geo_pipeline(pipeline):
+    """device_geometry twin sharing the host pipeline's nets."""
+    class TinyPipeline(PlatePipeline):
+        TARGET = 64
+
+    return TinyPipeline(detector=pipeline.detector,
+                        plate_restorer=pipeline.plate_restorer,
+                        car_restorer=pipeline.car_restorer,
+                        device_geometry=True)
+
+
+def test_device_geometry_matches_host_path(pipeline, geo_pipeline, rng,
+                                           monkeypatch):
+    """device_geometry=True (mask/crop/resize/restore/warp/paste/montage
+    as ONE dispatch) must reproduce the host cv2 stages up to cv2's
+    fixed-point bilinear rounding and the polygon-edge rasterization
+    band. The detector quad is pinned to a proper plate-like quad — the
+    random-weight detector can emit degenerate quads (repeated corners),
+    where BOTH paths produce garbage (covered separately below)."""
+    img = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    quad = np.array([[10, 22], [52, 18], [54, 44], [8, 47]], np.int32)
+    for p in (pipeline, geo_pipeline):
+        monkeypatch.setattr(type(p), "_detect_quad",
+                            lambda self, im: (quad.copy(), 0.9, True),
+                            raising=True)
+    want = pipeline.process(img)
+    got = geo_pipeline.process(img)
+
+    t = pipeline.TARGET
+    assert got["montage"].shape == (t, 6 * t, 3)
+    assert got["montage"].dtype == np.uint8
+    np.testing.assert_array_equal(got["input"], want["input"])
+    np.testing.assert_array_equal(got["quad"], want["quad"])
+
+    # pure-geometry panels: tight agreement (no net in the loop)
+    for key in ("crop", "crop_padded", "transform"):
+        a = got[key].astype(np.float32)
+        b = want[key].astype(np.float32)
+        assert a.shape == b.shape, key
+        diff = np.abs(a - b)
+        # most pixels within cv2's fixed-point rounding; the polygon /
+        # warp edge band may differ by full pixel values
+        assert np.quantile(diff, 0.90) <= 2.0, (key, np.quantile(diff, .9))
+        assert diff.mean() <= 8.0, (key, diff.mean())
+
+    # net-bearing panels: the ≤1 LSB input difference passes through a
+    # random-weight generator — gate on mean drift, not exactness
+    for key in ("plate_restored", "car_restored", "pasted"):
+        a = got[key].astype(np.float32)
+        b = want[key].astype(np.float32)
+        assert a.shape == b.shape, key
+        assert np.abs(a - b).mean() <= 12.0, (key, np.abs(a - b).mean())
+
+    # batch path consistency: same graph at batch shape, panels identical
+    # to the single-image device path up to XLA fusion ulps
+    canvas = want["input"]
+    mont2, masked2 = geo_pipeline._geo_batch(
+        np.stack([canvas, canvas]),
+        np.stack([quad, quad]).astype(np.float32))
+    for i in range(2):
+        assert np.abs(mont2[i].astype(np.int16) -
+                      got["montage"].astype(np.int16)).max() <= 1
+
+
+def test_device_geometry_degenerate_quad(geo_pipeline, rng):
+    """A degenerate quad (repeated corner → singular homography) must
+    not NaN-poison the device path: warped content goes black (matching
+    the host path, whose f64 garbage matrix also lands ~nowhere) and the
+    paste falls back to the restored car inside the polygon."""
+    t = geo_pipeline.TARGET
+    canvas = (rng.random((t, t, 3)) * 255).astype(np.uint8)
+    quad = np.array([[16, 63], [63, 0], [63, 0], [0, 38]], np.float32)
+    mont, masked = geo_pipeline._geo_batch(canvas[None], quad[None])
+    assert np.isfinite(mont.astype(np.float32)).all()
+    transform = mont[0][:, 4 * t:5 * t]
+    assert (transform > 0).mean() < 0.01  # black warped content
+    pasted = mont[0][:, 5 * t:6 * t]
+    assert pasted.dtype == np.uint8 and pasted.shape == (t, t, 3)
+
+
 def test_base64_roundtrip(rng):
     img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
     back = base64_to_image(image_to_base64(img))
