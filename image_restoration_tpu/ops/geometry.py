@@ -44,11 +44,56 @@ def homography_from_points(src, dst):
     return jnp.concatenate([h8, jnp.ones((1,))]).reshape(3, 3)
 
 
+def inv3x3(m):
+    """Closed-form 3×3 inverse (adjugate / det). No LAPACK custom call —
+    keeps exported engines portable (a deserialized jax.export artifact
+    whose graph contains lapack custom calls segfaults in a fresh
+    process) and lowers to plain arithmetic on TPU."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e]),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f]),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d]),
+    ])
+    det = a * co[0, 0] + b * co[1, 0] + c * co[2, 0]
+    return co / det
+
+
+def homography_square_to_quad(t, quad):
+    """Closed-form homography mapping the axis-aligned square
+    [(0,0),(t,0),(t,t),(0,t)] to `quad` ((4,2), same vertex order:
+    TL,TR,BR,BL). Equals homography_from_points(square, quad) without
+    the 8×8 LAPACK solve (projective square→quad standard form), so it
+    can live inside exported engines. Degenerate quads yield non-finite
+    entries, like the solve."""
+    q = quad.astype(jnp.float32)
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = (q[0], q[1], q[2], q[3])
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    sx, sy = x0 - x1 + x2 - x3, y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    m_unit = jnp.stack([jnp.stack([a, b, x0]),
+                        jnp.stack([d, e, y0]),
+                        jnp.stack([g, h, jnp.ones_like(g)])])
+    scale = jnp.asarray([[1.0 / t, 0.0, 0.0],
+                         [0.0, 1.0 / t, 0.0],
+                         [0.0, 0.0, 1.0]], jnp.float32)
+    return m_unit @ scale
+
+
 def warp_perspective(img, h_mat):
     """Bilinear inverse warp of (H,W,C) by 3×3 homography (dst→src uses
     h⁻¹ sampling, like cv2.warpPerspective; border = constant 0)."""
     hh, ww, c = img.shape
-    hi = jnp.linalg.inv(h_mat)
+    hi = inv3x3(h_mat)
     gy, gx = jnp.meshgrid(jnp.arange(hh, dtype=jnp.float32),
                           jnp.arange(ww, dtype=jnp.float32), indexing="ij")
     ones = jnp.ones_like(gx)

@@ -73,6 +73,49 @@ class EngineFaceRestorer:
         return self.restore_batch(img[None])[0]
 
 
+class EngineGeoPipeline:
+    """Fused post-detector pipeline engine (scripts/export_gfpgan.py
+    --with-geometry): mask/crop/resize/restores/warp/paste/montage in one
+    source-free artifact. Slots into PlatePipeline(geo_engine=...) —
+    `__call__((N,T,T,3) uint8 BGR canvases, (N,4,2) float32 quads)` →
+    (montage_u8 (N,T,6T,3), masked_canvas_u8), padded/chunked to the
+    engine's frozen batch."""
+
+    def __init__(self, engine_dir: str):
+        with open(osp.join(engine_dir, "engine.json")) as f:
+            self.meta = json.load(f)
+        if not self.meta.get("geometry"):
+            raise ValueError(
+                f"{engine_dir} is not a fused-geometry engine (export "
+                "with scripts/export_gfpgan.py --with-geometry)")
+        from jax import export as jexport
+        with open(osp.join(engine_dir, "engine.bin"), "rb") as f:
+            self.engine = jexport.deserialize(f.read())
+        shape = self.meta["input_shape"]
+        self.batch = int(shape[0])
+        self.target = int(shape[1])
+
+    def __call__(self, canvases: np.ndarray, quads: np.ndarray):
+        if canvases.dtype != np.uint8:
+            raise TypeError(f"expected uint8 canvases, got "
+                            f"{canvases.dtype}")
+        n, b = canvases.shape[0], self.batch
+        monts, maskeds = [], []
+        for s in range(0, n, b):
+            cv_ = canvases[s:s + b]
+            qd = np.asarray(quads[s:s + b], np.float32)
+            pad = b - cv_.shape[0]
+            if pad:
+                cv_ = np.concatenate([cv_, np.repeat(cv_[-1:], pad, 0)], 0)
+                qd = np.concatenate([qd, np.repeat(qd[-1:], pad, 0)], 0)
+            mont, masked = self.engine.call(jnp.asarray(cv_),
+                                            jnp.asarray(qd))
+            keep = b - pad if pad else b
+            monts.append(np.asarray(mont)[:keep])
+            maskeds.append(np.asarray(masked)[:keep])
+        return np.concatenate(monts, 0), np.concatenate(maskeds, 0)
+
+
 class EngineRestorer:
     """Callable: RGB (H,W,3) — uint8 [0,255] or float [0,1] — → uint8
     RGB ×upscale. With a u8-IO engine (export_restorer --u8-io) uint8

@@ -59,6 +59,99 @@ def resize_with_padding(img_bgr: np.ndarray, expected=(256, 256),
     return canvas
 
 
+def build_geo_fused(plate_restorer, car_restorer, target: int):
+    """ONE jitted graph for everything after the detector: masked
+    boundingRect crop+resize → both restores → perspective warp-back →
+    paste → 6-panel montage (the host stages of ref
+    api_plate_oto.py:264-320,449-466, on device via ops/geometry.py).
+
+    Signature: fused(params_plate, params_car, canvas_u8 (N,T,T,3 BGR),
+    quads_f32 (N,4,2)) → (montage_u8 (N,T,6T,3), masked_canvas_u8).
+    Params/images enter as jit ARGUMENTS (axon constant-embedding rule);
+    `scripts/export_gfpgan.py --with-geometry` exports this same graph
+    with the params baked in as a source-free artifact."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.geometry import (bbox_of_quad, crop_resize,
+                                homography_square_to_quad, pad_resize,
+                                quad_mask, quad_mask_aa, warp_perspective)
+
+    t = target
+    plate, car = plate_restorer, car_restorer
+    same = plate is car
+    mean_p, std_p = (jnp.asarray(plate.mean), jnp.asarray(plate.std))
+    mean_c, std_c = (jnp.asarray(car.mean), jnp.asarray(car.std))
+    lo_p, hi_p = plate.out_min_max
+    lo_c, hi_c = car.out_min_max
+
+    def apply_net(net, quant, params, x):
+        if quant == "dyn-int8":
+            from ..ops import modulated_conv
+            with modulated_conv.int8_serving():
+                out = net.apply({"params": params}, x)
+        else:
+            out = net.apply({"params": params}, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    def pre(canvas_f, quad):
+        # crop composite: drawContours-AA twin (keeps the ~1.5 px AA
+        # ink band); paste: fillPoly twin (hard polygon) — matching
+        # the two different cv2 masks the host path draws
+        masked = canvas_f * quad_mask_aa(quad, (t, t))[..., None]
+        paste_mask = quad_mask(quad, (t, t))
+        bbox = bbox_of_quad(quad, (t, t))
+        crop_rs = crop_resize(masked, bbox, (t, t))   # BGR f32 0..255
+        crop_pad = pad_resize(masked, bbox, (t, t))
+        return masked, paste_mask, crop_rs, crop_pad
+
+    def post(crop_rs, plate_f, car_f, mask, quad):
+        # closed-form square→quad homography: no LAPACK custom call, so
+        # the graph stays exportable (engine artifacts) and TPU-cheap
+        m = homography_square_to_quad(float(t), quad)
+        # degenerate quad (repeated/collinear corners) → singular
+        # solve → NaN. The host path's f64 solve returns a garbage
+        # matrix whose warp lands (almost) nowhere — i.e. black
+        # warped content — so black is the matching fallback here.
+        m_ok = jnp.all(jnp.isfinite(m))
+        m_safe = jnp.where(m_ok, m, jnp.eye(3, dtype=m.dtype))
+        ok_f = m_ok.astype(crop_rs.dtype)
+        transform = warp_perspective(crop_rs, m_safe) * ok_f
+        plate_warp = warp_perspective(plate_f, m_safe) * ok_f
+        pasted = jnp.where((mask > 0)[..., None], plate_warp, car_f)
+        return transform, pasted
+
+    def fused(params_p, params_c, canvas_u8, quads):
+        canvas_f = canvas_u8.astype(jnp.float32)
+        masked, mask, crop_rs, crop_pad = jax.vmap(pre)(canvas_f, quads)
+        # plate input: NO channel swap (ref :349-374, the net saw
+        # BGR); car input: BGR→RGB (ref :376-401)
+        plate_in = (crop_rs / 255.0 - mean_p) / std_p
+        car_in = (canvas_f[..., ::-1] / 255.0 - mean_c) / std_c
+        if same:
+            n = canvas_u8.shape[0]
+            out = apply_net(plate.net, plate.quant, params_p,
+                            jnp.concatenate([plate_in, car_in]))
+            out_p, out_c = out[:n], out[n:]
+        else:
+            out_p = apply_net(plate.net, plate.quant, params_p, plate_in)
+            out_c = apply_net(car.net, car.quant, params_c, car_in)
+        yp = (jnp.clip(out_p.astype(jnp.float32), lo_p, hi_p) - lo_p)
+        plate_f = yp / (hi_p - lo_p) * 255.0    # stays in net order
+        yc = (jnp.clip(out_c.astype(jnp.float32), lo_c, hi_c) - lo_c)
+        car_f = (yc / (hi_c - lo_c))[..., ::-1] * 255.0   # → BGR
+        transform, pasted = jax.vmap(post)(crop_rs, plate_f, car_f,
+                                           mask, quads)
+        montage = jnp.concatenate(
+            [canvas_f, plate_f, car_f, crop_pad, transform, pasted],
+            axis=2)
+        montage_u8 = jnp.round(jnp.clip(montage, 0.0, 255.0)
+                               ).astype(jnp.uint8)
+        masked_u8 = jnp.round(masked).astype(jnp.uint8)
+        return montage_u8, masked_u8
+
+    return jax.jit(fused)
+
+
 class PlatePipeline:
     """detector + plate restorer + car restorer, all-TPU."""
 
@@ -70,7 +163,8 @@ class PlatePipeline:
                  detector_ckpt: Optional[str] = None,
                  plate_ckpt: Optional[str] = None,
                  car_ckpt: Optional[str] = None, dtype=None,
-                 device_io: bool = True, device_geometry: bool = False):
+                 device_io: bool = True, device_geometry: bool = False,
+                 geo_engine=None):
         """device_io routes the restores through Restorer.restore_batch_u8
         (uint8 on the wire both ways, normalization/uint8-conversion on
         device) — equivalent to the host float path to ≤1 LSB; set False
@@ -87,7 +181,12 @@ class PlatePipeline:
         and polygon-edge rasterization (≤1-px band); set False for the
         reference-exact cv2 stages. Requires jitted Restorer objects on
         both slots (exported-engine restorers fall back to the host
-        stages automatically)."""
+        stages automatically).
+
+        geo_engine: an exported fused-geometry engine
+        (scripts/export_gfpgan.py --with-geometry, loaded via
+        serve.engine_restorer.EngineGeoPipeline) serving the same
+        post-detector graph source-free; implies device_geometry."""
         self.detector = detector or PlateDetector(ckpt_path=detector_ckpt,
                                                   dtype=dtype)
         # the reference's TorchScript plate model is GFPGANv1OCR at the
@@ -101,7 +200,8 @@ class PlatePipeline:
                                       "restore_batch_u8")
                           and hasattr(self.car_restorer,
                                       "restore_batch_u8"))
-        self.device_geometry = bool(
+        self._geo_engine = geo_engine
+        self.device_geometry = bool(geo_engine) or bool(
             device_geometry
             and all(hasattr(r, "net") and hasattr(r, "variables")
                     for r in (self.plate_restorer, self.car_restorer)))
@@ -118,101 +218,16 @@ class PlatePipeline:
     # --------------------------------------------- device geometry path
 
     def _build_geo_fused(self):
-        """ONE jitted graph for everything after the detector: masked
-        boundingRect crop+resize → both restores → perspective warp-back
-        → paste → 6-panel montage (the host stages of ref
-        api_plate_oto.py:264-320,449-466, on device via ops/geometry.py).
-
-        Params/images enter as jit ARGUMENTS (axon constant-embedding
-        rule). Returns (montage_u8 (N,T,6T,3), masked_canvas_u8) — the
-        per-image dict's panels are slices of the montage."""
-        import jax
-        import jax.numpy as jnp
-        from ..ops.geometry import (bbox_of_quad, crop_resize,
-                                    homography_from_points, pad_resize,
-                                    quad_mask, quad_mask_aa,
-                                    warp_perspective)
-
-        t = self.TARGET
-        plate, car = self.plate_restorer, self.car_restorer
-        same = plate is car
-        mean_p, std_p = (jnp.asarray(plate.mean), jnp.asarray(plate.std))
-        mean_c, std_c = (jnp.asarray(car.mean), jnp.asarray(car.std))
-        lo_p, hi_p = plate.out_min_max
-        lo_c, hi_c = car.out_min_max
-
-        def apply_net(net, quant, params, x):
-            if quant == "dyn-int8":
-                from ..ops import modulated_conv
-                with modulated_conv.int8_serving():
-                    out = net.apply({"params": params}, x)
-            else:
-                out = net.apply({"params": params}, x)
-            return out[0] if isinstance(out, tuple) else out
-
-        def pre(canvas_f, quad):
-            # crop composite: drawContours-AA twin (keeps the ~1.5 px AA
-            # ink band); paste: fillPoly twin (hard polygon) — matching
-            # the two different cv2 masks the host path draws
-            masked = canvas_f * quad_mask_aa(quad, (t, t))[..., None]
-            paste_mask = quad_mask(quad, (t, t))
-            bbox = bbox_of_quad(quad, (t, t))
-            crop_rs = crop_resize(masked, bbox, (t, t))   # BGR f32 0..255
-            crop_pad = pad_resize(masked, bbox, (t, t))
-            return masked, paste_mask, crop_rs, crop_pad
-
-        src_sq = jnp.asarray([[0, 0], [t, 0], [t, t], [0, t]], jnp.float32)
-
-        def post(crop_rs, plate_f, car_f, mask, quad):
-            m = homography_from_points(src_sq, quad)
-            # degenerate quad (repeated/collinear corners) → singular
-            # solve → NaN. The host path's f64 solve returns a garbage
-            # matrix whose warp lands (almost) nowhere — i.e. black
-            # warped content — so black is the matching fallback here.
-            m_ok = jnp.all(jnp.isfinite(m))
-            m_safe = jnp.where(m_ok, m, jnp.eye(3, dtype=m.dtype))
-            ok_f = m_ok.astype(crop_rs.dtype)
-            transform = warp_perspective(crop_rs, m_safe) * ok_f
-            plate_warp = warp_perspective(plate_f, m_safe) * ok_f
-            pasted = jnp.where((mask > 0)[..., None], plate_warp, car_f)
-            return transform, pasted
-
-        def fused(params_p, params_c, canvas_u8, quads):
-            canvas_f = canvas_u8.astype(jnp.float32)
-            masked, mask, crop_rs, crop_pad = jax.vmap(pre)(canvas_f,
-                                                            quads)
-            # plate input: NO channel swap (ref :349-374, the net saw
-            # BGR); car input: BGR→RGB (ref :376-401)
-            plate_in = (crop_rs / 255.0 - mean_p) / std_p
-            car_in = (canvas_f[..., ::-1] / 255.0 - mean_c) / std_c
-            if same:
-                n = canvas_u8.shape[0]
-                out = apply_net(plate.net, plate.quant, params_p,
-                                jnp.concatenate([plate_in, car_in]))
-                out_p, out_c = out[:n], out[n:]
-            else:
-                out_p = apply_net(plate.net, plate.quant, params_p,
-                                  plate_in)
-                out_c = apply_net(car.net, car.quant, params_c, car_in)
-            yp = (jnp.clip(out_p.astype(jnp.float32), lo_p, hi_p) - lo_p)
-            plate_f = yp / (hi_p - lo_p) * 255.0    # stays in net order
-            yc = (jnp.clip(out_c.astype(jnp.float32), lo_c, hi_c) - lo_c)
-            car_f = (yc / (hi_c - lo_c))[..., ::-1] * 255.0   # → BGR
-            transform, pasted = jax.vmap(post)(crop_rs, plate_f, car_f,
-                                               mask, quads)
-            montage = jnp.concatenate(
-                [canvas_f, plate_f, car_f, crop_pad, transform, pasted],
-                axis=2)
-            montage_u8 = jnp.round(jnp.clip(montage, 0.0, 255.0)
-                                   ).astype(jnp.uint8)
-            masked_u8 = jnp.round(masked).astype(jnp.uint8)
-            return montage_u8, masked_u8
-
-        return jax.jit(fused)
+        """See module-level build_geo_fused — the pipeline's fused graph
+        for everything after the detector."""
+        return build_geo_fused(self.plate_restorer, self.car_restorer,
+                               self.TARGET)
 
     def _geo_batch(self, canvases: np.ndarray, quads: np.ndarray):
-        """Run the fused device-geometry graph on a canvas batch; returns
-        (montage_u8, masked_u8) as numpy."""
+        """Run the fused device-geometry graph (or the exported engine)
+        on a canvas batch; returns (montage_u8, masked_u8) as numpy."""
+        if self._geo_engine is not None:
+            return self._geo_engine(canvases, quads.astype(np.float32))
         if self._geo_fused is None:
             self._geo_fused = self._build_geo_fused()
         mont, masked = self._geo_fused(

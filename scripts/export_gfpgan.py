@@ -32,9 +32,16 @@ import os
 
 def build_engine(net_opt=None, pth=None, batch=32, quant=None, dtype=None,
                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
-                 out_min_max=(-1, 1)):
+                 out_min_max=(-1, 1), with_geometry=False):
     """Returns (serialized_bytes, meta dict, restorer). u8 IO always —
-    the engine IS the device-IO serving graph."""
+    the engine IS the device-IO serving graph.
+
+    with_geometry exports the FUSED post-detector pipeline graph instead
+    (serve.pipeline.build_geo_fused, same restorer on the plate and car
+    slots): (canvas_u8 (N,T,T,3 BGR), quads_f32 (N,4,2)) → (montage_u8
+    (N,T,6T,3), masked_canvas_u8). Loaded by EngineGeoPipeline and
+    slotted into PlatePipeline(geo_engine=...) — the whole product
+    endpoint after the detector runs source-free from the artifact."""
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
@@ -49,17 +56,32 @@ def build_engine(net_opt=None, pth=None, batch=32, quant=None, dtype=None,
                          "(net_opt input_height/input_width)")
     params = restorer.variables["params"]
 
-    def serve(x_u8):
-        # weights close over as constants → embedded in the artifact;
-        # calling the jitted _fwd_u8 inside the trace inlines its graph
-        return restorer._fwd_u8(params, x_u8)
+    if with_geometry:
+        if h != w:
+            raise ValueError("the fused geometry graph assumes a square "
+                             f"canvas; got {h}x{w}")
+        from image_restoration_tpu.serve.pipeline import build_geo_fused
+        fused = build_geo_fused(restorer, restorer, h)
 
-    x_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
-    exported = jexport.export(jax.jit(serve))(x_spec)
+        def serve(canvas_u8, quads):
+            return fused(params, params, canvas_u8, quads)
+
+        specs = (jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8),
+                 jax.ShapeDtypeStruct((batch, 4, 2), jnp.float32))
+        exported = jexport.export(jax.jit(serve))(*specs)
+    else:
+        def serve(x_u8):
+            # weights close over as constants → embedded in the artifact;
+            # calling the jitted _fwd_u8 inside the trace inlines its graph
+            return restorer._fwd_u8(params, x_u8)
+
+        x_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+        exported = jexport.export(jax.jit(serve))(x_spec)
     meta = {"model": net_opt["type"], "net_opt": net_opt, "batch": batch,
             "input_shape": [batch, h, w, 3], "input_dtype": "uint8",
             "io": "u8", "quant": quant, "mean": list(mean),
             "std": list(std), "out_min_max": list(out_min_max),
+            "geometry": bool(with_geometry),
             "platforms": list(exported.platforms)}
     return exported.serialize(), meta, restorer
 
@@ -72,6 +94,10 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--quant", default=None, choices=[None, "dyn-int8"])
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--with-geometry", action="store_true",
+                   help="export the fused post-detector pipeline graph "
+                        "(crop/mask/restores/warp/paste/montage) instead "
+                        "of the bare restorer")
     args = p.parse_args()
 
     import numpy as np
@@ -86,17 +112,32 @@ def main():
 
     ser, meta, restorer = build_engine(
         pth=args.pth, batch=args.batch, quant=args.quant,
-        dtype=jnp.bfloat16 if args.bf16 else None)
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        with_geometry=args.with_geometry)
 
-    # round-trip gate: deserialize and compare against the live u8 graph.
+    # round-trip gate: deserialize and compare against the live graph.
     # Bitwise for float/bf16; dyn-int8 is a separate compilation of the
     # int8 chain → PSNR-gated (docs/PERFORMANCE.md "Chip calibration").
     h, w = restorer.input_size
-    x = (np.random.default_rng(0).random(
-        (args.batch, h, w, 3)) * 255).astype(np.uint8)
-    got = np.asarray(jexport.deserialize(ser).call(jnp.asarray(x)),
-                     np.float32)
-    want = restorer.restore_batch_u8(x).astype(np.float32)  # both BGR u8
+    rng0 = np.random.default_rng(0)
+    if args.with_geometry:
+        from image_restoration_tpu.serve.pipeline import build_geo_fused
+        canv = (rng0.random((args.batch, h, w, 3)) * 255).astype(np.uint8)
+        quads = np.stack([np.float32(
+            [[h // 5, h // 3], [4 * h // 5, h // 4],
+             [3 * h // 4, 2 * h // 3], [h // 6, 3 * h // 4]])
+            for _ in range(args.batch)])
+        fused = build_geo_fused(restorer, restorer, h)
+        params = restorer.variables["params"]
+        want = np.asarray(fused(params, params, jnp.asarray(canv),
+                                jnp.asarray(quads))[0], np.float32)
+        got = np.asarray(jexport.deserialize(ser).call(
+            jnp.asarray(canv), jnp.asarray(quads))[0], np.float32)
+    else:
+        x = (rng0.random((args.batch, h, w, 3)) * 255).astype(np.uint8)
+        got = np.asarray(jexport.deserialize(ser).call(jnp.asarray(x)),
+                         np.float32)
+        want = restorer.restore_batch_u8(x).astype(np.float32)  # BGR u8
     mse = float(np.mean((got - want) ** 2))
     gate_db = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     print(f"engine vs jit round-trip: {gate_db:.1f} dB")

@@ -96,6 +96,58 @@ def test_full_pipeline_from_artifacts(built, tmp_path, rng):
     np.testing.assert_array_equal(batched[0]["montage"], res["montage"])
 
 
+def test_geometry_engine_matches_live_fused(built, tmp_path_factory, rng):
+    """--with-geometry exports the FUSED post-detector graph; loaded via
+    EngineGeoPipeline and slotted into PlatePipeline(geo_engine=...) it
+    must reproduce the live device_geometry pipeline."""
+    from export_gfpgan import build_engine
+    from image_restoration_tpu.detect.engine import PlateDetector
+    from image_restoration_tpu.serve.engine_restorer import (
+        EngineGeoPipeline)
+    from image_restoration_tpu.serve.pipeline import PlatePipeline
+
+    _, restorer = built
+    ser, meta, _ = build_engine(net_opt=TINY_GFPGAN, batch=2,
+                                with_geometry=True)
+    assert meta["geometry"]
+    d = tmp_path_factory.mktemp("geo_engine")
+    (d / "engine.bin").write_bytes(ser)
+    (d / "engine.json").write_text(json.dumps(meta))
+    geo_eng = EngineGeoPipeline(str(d))
+    assert geo_eng.target == 64 and geo_eng.batch == 2
+
+    det = PlateDetector(backbone="Resnet18", image_size=64,
+                        score_threshold=0.0, keep_top_k=5)
+
+    class TinyPipeline(PlatePipeline):
+        TARGET = 64
+
+    live = TinyPipeline(detector=det, plate_restorer=restorer,
+                        car_restorer=restorer, device_geometry=True)
+    from_artifact = TinyPipeline(detector=det, plate_restorer=restorer,
+                                 car_restorer=restorer,
+                                 geo_engine=geo_eng)
+    assert from_artifact.device_geometry
+
+    canvas = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    quad = np.array([[10, 22], [52, 18], [54, 44], [8, 47]], np.float32)
+    want_m, want_k = live._geo_batch(canvas[None], quad[None])
+    got_m, got_k = from_artifact._geo_batch(canvas[None], quad[None])
+    # separate compilation of the same f32 graph → ≤1 LSB after rounding
+    assert np.abs(got_m.astype(np.int16) -
+                  want_m.astype(np.int16)).max() <= 1
+    np.testing.assert_array_equal(got_k, want_k)
+    # ragged batch: 3 images through the frozen batch-2 engine
+    mont3, masked3 = from_artifact._geo_batch(
+        np.repeat(canvas[None], 3, 0), np.repeat(quad[None], 3, 0))
+    assert mont3.shape == (3, 64, 6 * 64, 3)
+    assert np.abs(mont3[2].astype(np.int16) -
+                  want_m[0].astype(np.int16)).max() <= 1
+    # the pytest wrong-artifact guard
+    with pytest.raises(ValueError, match="geometry"):
+        EngineGeoPipeline(built[0])
+
+
 def test_engine_slots_into_service_core(built, rng):
     """Duck-compatibility: ServiceCore serves /Restore/ from the
     source-free artifact, micro-batching included."""

@@ -41,6 +41,30 @@ def test_homography_matches_cv2():
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
 
 
+def test_homography_square_closed_form():
+    """The LAPACK-free square→quad closed form (used inside exported
+    engines) equals both cv2 and the general 8×8 solve; a degenerate
+    quad yields non-finite entries (the guard's contract). inv3x3
+    matches numpy."""
+    from image_restoration_tpu.ops.geometry import (
+        homography_square_to_quad, inv3x3)
+    rng = np.random.default_rng(7)
+    t = 256.0
+    src = np.float32([[0, 0], [t, 0], [t, t], [0, t]])
+    for _ in range(5):
+        dst = _rand_quad(rng).astype(np.float32)
+        want = cv2.getPerspectiveTransform(src, dst)
+        got = np.asarray(homography_square_to_quad(t, jnp.asarray(dst)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(inv3x3(jnp.asarray(got))),
+                                   np.linalg.inv(got), rtol=2e-4,
+                                   atol=2e-5)
+    degenerate = jnp.asarray([[16., 63.], [63., 0.], [63., 0.],
+                              [0., 38.]])
+    m = np.asarray(homography_square_to_quad(t, degenerate))
+    assert not np.isfinite(m).all()
+
+
 def test_warp_perspective_matches_cv2():
     rng = np.random.default_rng(1)
     t = 128
