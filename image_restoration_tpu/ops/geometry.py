@@ -44,6 +44,13 @@ def homography_from_points(src, dst):
     return jnp.concatenate([h8, jnp.ones((1,))]).reshape(3, 3)
 
 
+def det3x3(m):
+    """Closed-form 3×3 determinant (no LAPACK custom call)."""
+    return (m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+            - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+            + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]))
+
+
 def inv3x3(m):
     """Closed-form 3×3 inverse (adjugate / det). No LAPACK custom call —
     keeps exported engines portable (a deserialized jax.export artifact

@@ -18,6 +18,29 @@ import jax.numpy as jnp
 from ..parallel.tiling import tiled_apply
 
 
+def _chunked_call(call, batch, *arrays):
+    """Run `call` over leading-dim chunks of `arrays`, padding the last
+    chunk to the engine's frozen batch by repeating the final row and
+    discarding the padded outputs. Returns a list of concatenated
+    outputs (one per engine output)."""
+    n = arrays[0].shape[0]
+    outs = None
+    for s in range(0, n, batch):
+        chunk = [a[s:s + batch] for a in arrays]
+        pad = batch - chunk[0].shape[0]
+        if pad:
+            chunk = [np.concatenate([c, np.repeat(c[-1:], pad, 0)], 0)
+                     for c in chunk]
+        res = call(*[jnp.asarray(c) for c in chunk])
+        if not isinstance(res, (tuple, list)):
+            res = (res,)
+        keep = batch - pad
+        res = [np.asarray(r)[:keep] for r in res]
+        outs = ([[r] for r in res] if outs is None
+                else [o + [r] for o, r in zip(outs, res)])
+    return [np.concatenate(o, 0) for o in outs]
+
+
 class EngineFaceRestorer:
     """Fixed-size restorer engine (scripts/export_gfpgan.py) — the
     TorchScript-parity serving path: a source-free artifact with the
@@ -42,17 +65,7 @@ class EngineFaceRestorer:
         self.out_min_max = tuple(self.meta.get("out_min_max", (-1, 1)))
 
     def _call_chunked(self, imgs_u8: np.ndarray) -> np.ndarray:
-        n, b = imgs_u8.shape[0], self.batch
-        outs = []
-        for s in range(0, n, b):
-            chunk = imgs_u8[s:s + b]
-            pad = b - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], pad, 0)], 0)
-            out = np.asarray(self.engine.call(jnp.asarray(chunk)))
-            outs.append(out[:b - pad] if pad else out)
-        return np.concatenate(outs, 0)
+        return _chunked_call(self.engine.call, self.batch, imgs_u8)[0]
 
     def restore_batch_u8(self, imgs: np.ndarray) -> np.ndarray:
         """(N,H,W,3) RGB uint8 → (N,H,W,3) BGR uint8."""
@@ -99,21 +112,10 @@ class EngineGeoPipeline:
         if canvases.dtype != np.uint8:
             raise TypeError(f"expected uint8 canvases, got "
                             f"{canvases.dtype}")
-        n, b = canvases.shape[0], self.batch
-        monts, maskeds = [], []
-        for s in range(0, n, b):
-            cv_ = canvases[s:s + b]
-            qd = np.asarray(quads[s:s + b], np.float32)
-            pad = b - cv_.shape[0]
-            if pad:
-                cv_ = np.concatenate([cv_, np.repeat(cv_[-1:], pad, 0)], 0)
-                qd = np.concatenate([qd, np.repeat(qd[-1:], pad, 0)], 0)
-            mont, masked = self.engine.call(jnp.asarray(cv_),
-                                            jnp.asarray(qd))
-            keep = b - pad if pad else b
-            monts.append(np.asarray(mont)[:keep])
-            maskeds.append(np.asarray(masked)[:keep])
-        return np.concatenate(monts, 0), np.concatenate(maskeds, 0)
+        mont, masked = _chunked_call(self.engine.call, self.batch,
+                                     canvases,
+                                     np.asarray(quads, np.float32))
+        return mont, masked
 
 
 class EngineRestorer:

@@ -72,13 +72,28 @@ def build_geo_fused(plate_restorer, car_restorer, target: int):
     with the params baked in as a source-free artifact."""
     import jax
     import jax.numpy as jnp
-    from ..ops.geometry import (bbox_of_quad, crop_resize,
+    from ..ops.geometry import (bbox_of_quad, crop_resize, det3x3,
                                 homography_square_to_quad, pad_resize,
                                 quad_mask, quad_mask_aa, warp_perspective)
 
     t = target
     plate, car = plate_restorer, car_restorer
     same = plate is car
+    for name, r in (("plate", plate), ("car", car)):
+        # the fused graph feeds the net at the canvas size directly; a
+        # restorer whose serving surface would resize (input_size !=
+        # target) or shard (data_parallel) would silently diverge from
+        # the host path here — refuse instead
+        isz = getattr(r, "input_size", (None, None))
+        if isz[0] is not None and tuple(isz) != (t, t):
+            raise ValueError(
+                f"device_geometry: {name} restorer input_size {isz} != "
+                f"pipeline target ({t}, {t}) — the fused graph does not "
+                "re-implement the resize step")
+        if getattr(r, "data_parallel", 0) and r.data_parallel > 1:
+            raise ValueError(
+                f"device_geometry does not support data_parallel "
+                f"restorers ({name} has data_parallel={r.data_parallel})")
     mean_p, std_p = (jnp.asarray(plate.mean), jnp.asarray(plate.std))
     mean_c, std_c = (jnp.asarray(car.mean), jnp.asarray(car.std))
     lo_p, hi_p = plate.out_min_max
@@ -108,11 +123,12 @@ def build_geo_fused(plate_restorer, car_restorer, target: int):
         # closed-form square→quad homography: no LAPACK custom call, so
         # the graph stays exportable (engine artifacts) and TPU-cheap
         m = homography_square_to_quad(float(t), quad)
-        # degenerate quad (repeated/collinear corners) → singular
-        # solve → NaN. The host path's f64 solve returns a garbage
-        # matrix whose warp lands (almost) nowhere — i.e. black
-        # warped content — so black is the matching fallback here.
-        m_ok = jnp.all(jnp.isfinite(m))
+        # degenerate quad → black warped content (the host path's f64
+        # garbage matrix also lands ~nowhere). TWO failure shapes: a
+        # repeated q2/q3 corner makes m non-finite (den=0), while a
+        # repeated q0/q1 corner leaves m FINITE but singular (det=0 —
+        # inv3x3 would NaN-poison the warp), so guard both.
+        m_ok = jnp.all(jnp.isfinite(m)) & (jnp.abs(det3x3(m)) > 1e-8)
         m_safe = jnp.where(m_ok, m, jnp.eye(3, dtype=m.dtype))
         ok_f = m_ok.astype(crop_rs.dtype)
         transform = warp_perspective(crop_rs, m_safe) * ok_f
@@ -186,15 +202,38 @@ class PlatePipeline:
         geo_engine: an exported fused-geometry engine
         (scripts/export_gfpgan.py --with-geometry, loaded via
         serve.engine_restorer.EngineGeoPipeline) serving the same
-        post-detector graph source-free; implies device_geometry."""
+        post-detector graph source-free; implies device_geometry. The
+        ENGINE'S baked weights serve every restore — restorer/ckpt
+        arguments only feed fallback surfaces, and passing them
+        alongside an engine logs a warning."""
+        if geo_engine is not None:
+            tgt = getattr(geo_engine, "target", None)
+            if tgt is not None and tgt != self.TARGET:
+                raise ValueError(
+                    f"geo_engine target {tgt} != pipeline TARGET "
+                    f"{self.TARGET} (exported at a different canvas "
+                    "size)")
+            if any(a is not None for a in (plate_restorer, car_restorer,
+                                           plate_ckpt, car_ckpt)):
+                from ..utils.logger import get_root_logger
+                get_root_logger().warning(
+                    "PlatePipeline: geo_engine is set — every restore is "
+                    "served from the ENGINE'S baked weights; the "
+                    "restorer/ckpt arguments are ignored on this path")
         self.detector = detector or PlateDetector(ckpt_path=detector_ckpt,
                                                   dtype=dtype)
         # the reference's TorchScript plate model is GFPGANv1OCR at the
-        # production config (SURVEY §7 hard parts)
-        self.plate_restorer = plate_restorer or Restorer(
-            PRODUCTION_GFPGAN, plate_ckpt, dtype=dtype)
-        self.car_restorer = car_restorer or Restorer(
-            PRODUCTION_GFPGAN, car_ckpt, dtype=dtype)
+        # production config (SURVEY §7 hard parts). With a geo_engine the
+        # restorers are unused (the engine carries the weights) — don't
+        # build two production generators just to ignore them.
+        if geo_engine is not None and plate_restorer is None and \
+                car_restorer is None:
+            self.plate_restorer = self.car_restorer = None
+        else:
+            self.plate_restorer = plate_restorer or Restorer(
+                PRODUCTION_GFPGAN, plate_ckpt, dtype=dtype)
+            self.car_restorer = car_restorer or Restorer(
+                PRODUCTION_GFPGAN, car_ckpt, dtype=dtype)
         self.device_io = (device_io
                           and hasattr(self.plate_restorer,
                                       "restore_batch_u8")

@@ -257,13 +257,17 @@ def main():
                        "device (ops/geometry.py); equivalence to the cv2 "
                        "host stages regression-tested"}
     except Exception as e:
-        log(f"device-geometry section failed: {type(e).__name__}: {e}")
-        geo = {"error": f"{type(e).__name__}: {e}"}
+        # leave the key ABSENT on failure: bench.py's queue skip-check
+        # tests key presence, so an error marker here would block
+        # re-measurement forever
+        log(f"device-geometry section failed (will re-measure next "
+            f"run): {type(e).__name__}: {e}")
+        geo = None
 
     out = {
         "date": time.strftime("%Y-%m-%d"),
         "image": os.path.basename(TEST_IMAGES[0]),
-        "device_geometry": geo,
+        **({"device_geometry": geo} if geo else {}),
         # which restore graph the device numbers were measured on:
         # device_io=True = restore_batch_u8 (uint8 wire, on-device
         # norm/convert); False = the host-normalize float graph

@@ -180,8 +180,13 @@ def test_pad_resize_matches_host_helper():
         diff = np.abs(np.round(got) - want)
         assert np.quantile(diff, 0.99) <= 2.0, np.quantile(diff, 0.99)
         assert diff.max() <= 16.0, diff.max()  # worst-case fixpoint pixel
-        # padding region (no scale>1 upsizing happens here) is exact zero
-        assert (got[want.sum(-1) == 0] <= 255).all()
+        # the letterbox padding bands are EXACT zero (geometry computed
+        # like the host helper: min-scale, floored target, centered)
+        scale = min(t / w, t / h, 1.0)
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        px, py = (t - nw) // 2, (t - nh) // 2
+        assert (got[:py] == 0).all() and (got[py + nh:] == 0).all()
+        assert (got[:, :px] == 0).all() and (got[:, px + nw:] == 0).all()
 
 
 def test_warp_roundtrip_identity():

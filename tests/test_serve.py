@@ -108,13 +108,19 @@ def test_device_geometry_degenerate_quad(geo_pipeline, rng):
     paste falls back to the restored car inside the polygon."""
     t = geo_pipeline.TARGET
     canvas = (rng.random((t, t, 3)) * 255).astype(np.uint8)
-    quad = np.array([[16, 63], [63, 0], [63, 0], [0, 38]], np.float32)
-    mont, masked = geo_pipeline._geo_batch(canvas[None], quad[None])
-    assert np.isfinite(mont.astype(np.float32)).all()
-    transform = mont[0][:, 4 * t:5 * t]
-    assert (transform > 0).mean() < 0.01  # black warped content
-    pasted = mont[0][:, 5 * t:6 * t]
-    assert pasted.dtype == np.uint8 and pasted.shape == (t, t, 3)
+    # two degeneracy shapes: repeated q2/q3 corner → non-finite
+    # homography; repeated q0/q1 corner → FINITE but singular (det=0),
+    # which would NaN-poison the warp if only isfinite were guarded
+    for quad in (np.array([[16, 63], [63, 0], [63, 0], [0, 38]],
+                          np.float32),
+                 np.array([[16, 63], [16, 63], [63, 0], [0, 38]],
+                          np.float32)):
+        mont, masked = geo_pipeline._geo_batch(canvas[None], quad[None])
+        assert np.isfinite(mont.astype(np.float32)).all()
+        transform = mont[0][:, 4 * t:5 * t]
+        assert (transform > 0).mean() < 0.01  # black warped content
+        pasted = mont[0][:, 5 * t:6 * t]
+        assert pasted.dtype == np.uint8 and pasted.shape == (t, t, 3)
 
 
 def test_base64_roundtrip(rng):
