@@ -21,7 +21,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -43,8 +43,11 @@ class MicroBatcher:
 
     Args:
         batch_fn: maps a stacked (N, ...) array to an (N, ...) result array.
-            Called from the single dispatcher thread only, so a jitted
-            forward needs no extra locking.
+            With pipeline_depth == 1 it is called from the single
+            dispatcher thread only; with pipeline_depth > 1 it may be
+            called from up to that many completer threads concurrently
+            (jitted JAX callables are thread-safe; host-stateful
+            batch_fns must pass pipeline_depth=1).
         max_batch: hard cap per dispatch (and largest bucket).
         max_wait_ms: how long the dispatcher holds the FIRST request of a
             batch while waiting for more to arrive. Latency cost under low
