@@ -181,10 +181,18 @@ def onchip_ms(apply_fn, params, x, iters=ITERS, repeats=3):
     @jax.jit
     def loop(params, x):
         def step(carry, _):
-            y = apply_fn(params, x + carry)
-            return jnp.mean(y).astype(x.dtype), None
+            y = apply_fn(params, x + carry.astype(x.dtype))
+            # checksum in f32 and sanitized: at random weights some nets
+            # (IconVSR/EDVR) overflow a bf16 mean over iterated forwards,
+            # which killed the r3 video bench on the finiteness assert.
+            # nan_to_num + clip keeps the carry finite and tiny while
+            # preserving the data dependency that serializes the scan.
+            c = jnp.mean(y.astype(jnp.float32))
+            c = jnp.clip(jnp.nan_to_num(c, nan=0.0, posinf=1.0,
+                                        neginf=-1.0), -1.0, 1.0) * 1e-3
+            return c, None
 
-        c, _ = jax.lax.scan(step, jnp.zeros((), x.dtype), None,
+        c, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), None,
                             length=iters)
         return c
 
@@ -646,7 +654,10 @@ def main():
     global _HEADLINE_PRINTED
     _HEADLINE_PRINTED = True
     if tiny:
-        # structural smoke only: no artifact writes, no heavy diagnostics
+        # structural smoke only: no artifact writes, no heavy diagnostics.
+        # Re-emit so the smoke exercises the same "headline is the FINAL
+        # stdout line" contract the full run must satisfy (below).
+        print(json.dumps(result), flush=True)
         return
     try:
         import datetime
@@ -723,6 +734,12 @@ def main():
         log(f"GFPGAN diag failed: {e}")
 
     run_queued_measurements()
+
+    # Driver contract: the headline JSON must be the FINAL stdout line.
+    # The queued scripts above print their own metric JSON lines and the
+    # r3 record lost its parsed headline to the queue's diagnostics tail
+    # (BENCH_r03.json parsed:null) — re-emit after everything else.
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -91,19 +91,25 @@ class ServiceCore:
         self.pipeline_batcher = None
         if microbatch:
             from .batching import MicroBatcher
+            # pipeline_depth > 1 overlaps a batch's device round-trip with
+            # gathering + dispatching the next one (jitted restore calls
+            # are thread-safe); IRT_MICROBATCH_DEPTH overrides
+            depth = int(os.environ.get("IRT_MICROBATCH_DEPTH", "2") or 2)
             self.batcher = MicroBatcher(
                 self.restorer.restore_batch_u8 if self.device_io
                 else self.restorer.restore_batch,
-                max_batch=microbatch, max_wait_ms=microbatch_wait_ms)
+                max_batch=microbatch, max_wait_ms=microbatch_wait_ms,
+                pipeline_depth=depth)
             # full-pipeline endpoint: coalesce concurrent requests into one
             # process_batch call (list mode — inputs are arbitrary-size;
-            # the pipeline pads its own fixed-shape chunks)
+            # the pipeline pads its own fixed-shape chunks). depth 1:
+            # process_batch mutates host-side pipeline state.
             chunk = min(int(microbatch), 8)
             self.pipeline_batcher = MicroBatcher(
                 lambda imgs: self.pipeline.process_batch(
                     imgs, chunk_size=chunk),
                 max_batch=microbatch, max_wait_ms=microbatch_wait_ms,
-                stack=False)
+                stack=False, pipeline_depth=1)
 
     def _restore_one(self, rgb: np.ndarray) -> np.ndarray:
         """One HWC RGB image (uint8 with device_io, float [0,1] without)

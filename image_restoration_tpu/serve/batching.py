@@ -41,18 +41,32 @@ def _default_buckets(max_batch: int) -> tuple:
 class MicroBatcher:
     """Coalesce concurrent `submit()` calls into batched `batch_fn` calls.
 
+    Dispatches are PIPELINED: up to `pipeline_depth` batches are in flight
+    concurrently, so the gather loop keeps draining arrivals while a prior
+    batch's device round-trip (dispatch + result transfer) completes. The
+    r3 single-dispatcher design serialized gather → dispatch → transfer and
+    measured 0.547× vs per-request dispatch on the transfer-bound axon
+    tunnel (docs/assets/microbatch_bench.json); overlapping the two phases
+    removes that serialization.
+
+    Batching policy ("natural batching"): arrivals are drained greedily;
+    the `max_wait_ms` hold applies ONLY when no batch is in flight (an
+    in-flight dispatch already provides a coalescing window for free, so
+    waiting on top of it would just add latency).
+
     Args:
         batch_fn: maps a stacked (N, ...) array to an (N, ...) result array.
-            With pipeline_depth == 1 it is called from the single
-            dispatcher thread only; with pipeline_depth > 1 it may be
-            called from up to that many completer threads concurrently
-            (jitted JAX callables are thread-safe; host-stateful
-            batch_fns must pass pipeline_depth=1).
+            With pipeline_depth == 1 it is called from one dispatch thread
+            only; with pipeline_depth > 1 it may be called from up to that
+            many threads concurrently (jitted JAX callables are
+            thread-safe; host-stateful batch_fns must pass
+            pipeline_depth=1).
         max_batch: hard cap per dispatch (and largest bucket).
         max_wait_ms: how long the dispatcher holds the FIRST request of a
-            batch while waiting for more to arrive. Latency cost under low
-            concurrency; amortized to ~0 under load (the window closes as
-            soon as max_batch is reached).
+            batch while waiting for more to arrive, when the device is
+            idle. Latency cost under low concurrency; under load the
+            window closes as soon as max_batch is reached or a pipeline
+            slot frees up.
         buckets: ascending pad targets; batches are padded up to the next
             bucket so XLA sees a bounded shape set. Default: powers of two
             up to max_batch.
@@ -61,12 +75,13 @@ class MicroBatcher:
             batch_fn and expects a same-length sequence back — for
             consumers that handle heterogeneous shapes and their own
             padding, e.g. PlatePipeline.process_batch.
+        pipeline_depth: max concurrently in-flight batch_fn calls.
     """
 
     def __init__(self, batch_fn: Callable[[np.ndarray], np.ndarray],
                  max_batch: int = 32, max_wait_ms: float = 5.0,
                  buckets: Optional[Sequence[int]] = None,
-                 stack: bool = True):
+                 stack: bool = True, pipeline_depth: int = 2):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.batch_fn = batch_fn
@@ -77,11 +92,16 @@ class MicroBatcher:
             _default_buckets(self.max_batch)
         if self.buckets[-1] < self.max_batch:
             raise ValueError("largest bucket must cover max_batch")
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.stats = {"items": 0, "dispatches": 0, "padded_rows": 0,
                       "batch_hist": {}}
         self._q: queue.Queue = queue.Queue()
         self._shape = None
         self._lock = threading.Lock()
+        self._inflight = 0
+        self._pool = ThreadPoolExecutor(
+            max_workers=self.pipeline_depth,
+            thread_name_prefix="microbatch-dispatch")
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -106,31 +126,59 @@ class MicroBatcher:
 
     def stop(self):
         self._q.put(_SENTINEL)
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=30)
 
     # ---- dispatcher side ----
     def _run(self):
-        while True:
+        stop = False
+        while not stop:
             entry = self._q.get()
             if entry is _SENTINEL:
-                return
+                break
             batch = [entry]
             deadline = time.monotonic() + self.max_wait_s
             while len(batch) < self.max_batch:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
                 try:
-                    entry = self._q.get(timeout=timeout)
+                    entry = self._q.get_nowait()
                 except queue.Empty:
-                    break
+                    with self._lock:
+                        inflight = self._inflight
+                    if inflight >= self.pipeline_depth:
+                        # every pipeline slot is busy: dispatching now
+                        # would only queue behind them — keep draining
+                        # arrivals instead (free coalescing window)
+                        time.sleep(2e-4)
+                        continue
+                    if inflight > 0:
+                        # a slot is free AND work is in flight: ship what
+                        # we have to overlap with it; waiting longer only
+                        # adds latency (the next batch coalesces while
+                        # this one round-trips)
+                        break
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        entry = self._q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
                 if entry is _SENTINEL:
-                    self._q.put(_SENTINEL)  # let the outer loop exit
+                    stop = True
                     break
                 batch.append(entry)
-            self._dispatch(batch)
+            with self._lock:
+                self._inflight += 1
+            self._pool.submit(self._dispatch, batch)
+        self._pool.shutdown(wait=True)
 
     def _dispatch(self, batch):
+        try:
+            self._dispatch_inner(batch)
+        finally:
+            with self._lock:
+                self._inflight -= 1
+
+    def _dispatch_inner(self, batch):
         futs = [b[1] for b in batch]
         n = len(futs)
         bucket = next(b for b in self.buckets if b >= n)
@@ -155,11 +203,12 @@ class MicroBatcher:
                 except Exception:
                     pass  # caller cancelled; must not kill the dispatcher
             return
-        self.stats["items"] += n
-        self.stats["dispatches"] += 1
-        self.stats["padded_rows"] += bucket - n
-        hist = self.stats["batch_hist"]
-        hist[bucket] = hist.get(bucket, 0) + 1
+        with self._lock:
+            self.stats["items"] += n
+            self.stats["dispatches"] += 1
+            self.stats["padded_rows"] += bucket - n
+            hist = self.stats["batch_hist"]
+            hist[bucket] = hist.get(bucket, 0) + 1
         for f, o in zip(futs, out):
             try:
                 f.set_result(o)

@@ -66,11 +66,15 @@ def main():
     ap.add_argument("--per-client", type=int, default=8)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--wait-ms", type=float, default=8.0)
+    ap.add_argument("--pipeline-depth", type=int, default=3,
+                    help="concurrent in-flight dispatches (ServiceCore "
+                         "reads IRT_MICROBATCH_DEPTH)")
     ap.add_argument("--quant", default=None, choices=[None, "dyn-int8"])
     ap.add_argument("--tiny", action="store_true",
                     help="64² generator for CPU sanity runs")
     args = ap.parse_args()
 
+    os.environ["IRT_MICROBATCH_DEPTH"] = str(args.pipeline_depth)
     if args.tiny:
         # CPU sanity must not touch (or hang on) the axon tunnel; the
         # plugin overrides JAX_PLATFORMS, so force cpu post-import
@@ -132,6 +136,7 @@ def main():
         json.dump({"date": time.strftime("%Y-%m-%d"),
                    "clients": args.clients, "per_client": args.per_client,
                    "max_batch": args.max_batch, "wait_ms": args.wait_ms,
+                   "pipeline_depth": args.pipeline_depth,
                    "quant": args.quant, "speedup": round(speedup, 3),
                    "results": results}, f, indent=1)
     print(f"wrote {path}", file=sys.stderr, flush=True)

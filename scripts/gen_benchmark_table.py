@@ -15,6 +15,21 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ASSETS = os.path.join(REPO, "docs", "assets")
 
+# TPU v5e nominal peaks (docs/PERFORMANCE.md roofline; the chip-calibrated
+# large-GEMM ceiling is ~122 TFLOP/s bf16 — see "Chip calibration")
+PEAK_BF16_TFLOPS = 197.0
+PEAK_INT8_TOPS = 394.0
+# SRVGG-general x4 @ 528² (512 tile + 2×8 halo) per-tile issued T-ops in
+# the served pack-2 int8 mode, incl. the 2× block-diagonal packing
+# overhead: 0.62 TFLOP dense × 2 (PERFORMANCE.md "Roofline of the
+# remaining gap": 8 tiles × 0.62 × 2 = 9.9 T-ops)
+HEADLINE_TOPS_PER_TILE = 1.24
+
+
+def mfu(tflops, peak, unit="TFLOP/s"):
+    return f"{tflops:.1f} {unit} ({100 * tflops / peak:.0f}% of " \
+           f"{peak:.0f} peak)"
+
 
 def load(name):
     path = os.path.join(ASSETS, name)
@@ -41,14 +56,17 @@ def main():
             add("Headline", f"`{os.path.basename(bench_file)}` "
                             f"{d['metric'][:70]}…",
                 f"{d['value']} {d.get('unit', '')} "
-                f"({d.get('vs_baseline', '?')}× baseline)", "round record")
+                f"({d.get('vs_baseline', '?')}× baseline), "
+                f"{mfu(d['value'] * HEADLINE_TOPS_PER_TILE, PEAK_INT8_TOPS, "TOPS")}",
+                "round record")
         except Exception:
             pass
     lh = load("last_headline.json")
     if lh:
         add("Headline", "last live-measured headline",
             f"{lh['value']} {lh.get('unit', '')} "
-            f"({lh.get('vs_baseline', '?')}× baseline)",
+            f"({lh.get('vs_baseline', '?')}× baseline), "
+            f"{mfu(lh['value'] * HEADLINE_TOPS_PER_TILE, PEAK_INT8_TOPS, "TOPS")}",
             lh.get("measured_at", "?"))
 
     # ---- serving
@@ -124,9 +142,12 @@ def main():
             blk = tb.get(key) or {}
             for r in blk.get("rows", []) or []:
                 variant = " (remat)" if r.get("remat") else ""
+                perf = ""
+                if "tflops" in r:  # XLA cost-analysis FLOPs / measured step
+                    perf = ", " + mfu(r["tflops"], PEAK_BF16_TFLOPS)
                 add("Training", f"{label} bs={r['bs']}{variant}",
                     f"{r['imgs_per_sec']} imgs/s ({r['ms_per_step']} "
-                    f"ms/step)",
+                    f"ms/step){perf}",
                     blk.get("date") or tb.get("meta", {}).get("date", "?"))
     for kind in ("sr", "gfpgan"):
         cv = load(f"train_convergence_{kind}.json")

@@ -20,12 +20,17 @@ def test_bench_tiny_headline_flow():
                        capture_output=True, text=True, timeout=1500,
                        env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
-    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-    assert len(lines) == 1, f"exactly one headline JSON line: {r.stdout!r}"
-    rec = json.loads(lines[0])
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    # driver contract (r3 regression: BENCH_r03.json parsed:null): the
+    # FINAL stdout line must parse as the headline JSON — queued scripts'
+    # own metric lines must never be what the driver tail-parses
+    rec = json.loads(lines[-1])
     assert rec["unit"] == "tiles/sec/chip"
     assert rec["value"] > 0
     assert "vs_baseline" in rec
+    heads = [ln for ln in lines if ln.startswith("{")]
+    assert all(json.loads(h) == rec for h in heads), \
+        f"all headline emissions must agree: {r.stdout!r}"
     # both gates ran and were reported
     assert "int8 PTQ vs bf16 PSNR" in r.stderr
     assert "halo-4 tiling gate" in r.stderr

@@ -255,6 +255,56 @@ def test_http_vehicle_endpoint_coalesces():
         core.pipeline_batcher.stop()
 
 
+def test_pipeline_overlaps_dispatches():
+    """With pipeline_depth=2 a second batch dispatches while the first is
+    still in flight: 2 batches of a 50 ms batch_fn finish in well under
+    2×50 ms + overheads (the r3 serialized dispatcher took the sum)."""
+    started, lock = [], threading.Lock()
+
+    def slow_fn(arr):
+        with lock:
+            started.append(time.monotonic())
+        time.sleep(0.05)
+        return arr * 2.0
+
+    b = MicroBatcher(slow_fn, max_batch=2, max_wait_ms=5.0,
+                     pipeline_depth=2)
+    items = [np.full((2, 2), i, np.float32) for i in range(4)]
+    t0 = time.monotonic()
+    futs = [b.submit(x) for x in items]
+    outs = [f.result(timeout=10) for f in futs]
+    wall = time.monotonic() - t0
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, items[i] * 2.0)
+    assert len(started) >= 2
+    # the two dispatches overlapped: second started before first finished
+    assert started[1] - started[0] < 0.045, started
+    assert wall < 0.095, f"no overlap: {wall:.3f}s"
+    b.stop()
+
+
+def test_pipeline_depth_one_serializes():
+    """pipeline_depth=1 keeps the host-stateful contract: batch_fn is
+    never re-entered concurrently."""
+    active, peak, lock = [0], [0], threading.Lock()
+
+    def fn(arr):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        time.sleep(0.02)
+        with lock:
+            active[0] -= 1
+        return arr
+
+    b = MicroBatcher(fn, max_batch=2, max_wait_ms=1.0, pipeline_depth=1)
+    futs = [b.submit(np.zeros((2,), np.float32)) for _ in range(6)]
+    for f in futs:
+        f.result(timeout=10)
+    assert peak[0] == 1
+    b.stop()
+
+
 def test_cancelled_future_does_not_kill_dispatcher():
     """A caller that cancels its Future (gave up waiting) must not crash
     the dispatcher thread — later requests still get served."""
