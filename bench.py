@@ -238,7 +238,8 @@ def echo_artifacts():
     one partial/stale artifact must not silence the rest of the tail."""
     for section in (_echo_train, _echo_convergence, _echo_detector_conv,
                     _echo_e2e, _echo_ptq, _echo_rrdb, _echo_microbatch,
-                    _echo_video, _echo_qat_distill):
+                    _echo_video, _echo_qat_distill, _echo_distill_e2e,
+                    _echo_gan_ablation):
         try:
             section()
         except Exception as e:
@@ -378,6 +379,12 @@ def _echo_qat_distill():
                 f"{vp.get('ptq_int8_psnr')} dB vs QAT "
                 f"{vp.get('qat_int8_psnr')} dB "
                 f"({vp['qat_minus_ptq_db']:+} dB) [measured {d['date']}]")
+        w4 = d.get("qat4_vs_ptq4") or {}
+        if "qat_minus_ptq_db" in w4:
+            log(f"TRAIN QAT vs PTQ at w4a8 ({w4.get('iters')} iters same "
+                f"init/data): PTQ {w4.get('ptq_w4a8_psnr')} dB vs QAT "
+                f"{w4.get('qat_w4a8_psnr')} dB "
+                f"({w4['qat_minus_ptq_db']:+} dB) [measured {d['date']}]")
         rows = (d.get("qat_step") or {}).get("rows") or []
         if len(rows) == 2:
             log(f"TRAIN QAT step overhead: {rows[0]['ms_per_step']} -> "
@@ -392,10 +399,42 @@ def _echo_qat_distill():
                 f"[measured {d['date']}]")
 
 
-# five queued jobs at ~10-20 min each on a cold compile cache; the queue
+def _echo_distill_e2e():
+    de = os.path.join(ASSETS, "distill_e2e.json")
+    if os.path.isfile(de):
+        d = json.load(open(de))
+        si = d.get("student_distill_int8") or {}
+        if "psnr" in si:
+            log(f"DISTILL E2E ({d.get('teacher')}, "
+                f"{d.get('teacher_iters')} teacher iters): teacher "
+                f"{d.get('teacher_psnr')} dB → distilled student served "
+                f"int8 {si['psnr']} dB ({si.get('gap_to_teacher_db')} dB "
+                f"gap) at {d.get('served_tiles_per_sec')} tiles/s "
+                f"({d.get('speedup_vs_rrdb_serving')}× vs direct RRDB "
+                f"serving); distill−L1 {d.get('distill_minus_l1_db'):+} dB "
+                f"[measured {d['date']}]")
+
+
+def _echo_gan_ablation():
+    ga = os.path.join(ASSETS, "gan_ablation.json")
+    if os.path.isfile(ga):
+        d = json.load(open(ga))
+        g, l1 = d.get("arm_gan") or {}, d.get("arm_l1") or {}
+        if "psnr" in g and "psnr" in l1:
+            log(f"TRAIN GAN-vs-L1 ablation ({g.get('iters')} iters each, "
+                f"same init/data): PSNR {g['psnr']} vs {l1['psnr']} dB "
+                f"({d.get('gan_minus_l1_psnr_db'):+} dB); GMS "
+                f"{g.get('gms_vs_gt')} vs {l1.get('gms_vs_gt')} "
+                f"({d.get('gan_minus_l1_gms'):+}); NIQE {g.get('niqe')} "
+                f"vs {l1.get('niqe')} (GAN better by "
+                f"{d.get('l1_minus_gan_niqe')}; GT anchor "
+                f"{d.get('niqe_gt_anchor')}) [measured {d['date']}]")
+
+
+# queued jobs at ~10-35 min each on a cold compile cache; the queue
 # runs strictly AFTER the headline JSON and every job is SIGALRM-bounded,
 # so a bigger budget risks only diagnostics, never the scored result
-QUEUE_BUDGET_S = 3600
+QUEUE_BUDGET_S = 5400
 
 
 def run_queued_measurements():
@@ -426,6 +465,10 @@ def run_queued_measurements():
     _bench_mod._GUARDED = True
 
     def missing(name, *fields):
+        """Artifact absent, unparseable, or any (dot-pathed) field absent/
+        falsy → the job still needs the chip. Dotted paths let a schema
+        upgrade re-queue a measurement (e.g. the r4 pipelined micro-
+        batcher invalidates the r3 serialized-dispatch numbers)."""
         path = os.path.join(ASSETS, name)
         if not os.path.isfile(path):
             return True
@@ -435,7 +478,15 @@ def run_queued_measurements():
             # corrupt/truncated artifact (e.g. a prior run's alarm fired
             # mid-write) counts as unmeasured, not as done
             return True
-        return any(f not in d for f in fields)
+
+        def has(field):
+            node = d
+            for part in field.split("."):
+                if not isinstance(node, dict) or part not in node:
+                    return False
+                node = node[part]
+            return bool(node) or node == 0
+        return any(not has(f) for f in fields)
 
     def run_script(modname):
         mod = __import__(modname)
@@ -447,21 +498,33 @@ def run_queued_measurements():
             sys.argv = old
 
     jobs = []  # (label, thunk) in chip_queue.sh priority order
-    if missing("microbatch_bench.json"):
-        jobs.append(("microbatch serving",
-                     lambda: run_script("bench_microbatch")))
-    if missing("e2e_latency.json", "process_batch_real_wall_ms_per_image",
-               "device_geometry"):
-        jobs.append(("E2E incl. process_batch",
-                     lambda: run_script("bench_e2e")))
+    if missing("distill_e2e.json", "complete"):
+        jobs.append(("distill E2E (teacher→student→served int8)",
+                     lambda: run_script("bench_distill_e2e")))
     if missing("video_bench.json"):
         jobs.append(("video SR serving", lambda: run_script("bench_video")))
+    # pipeline_depth marks the r4 PIPELINED dispatcher — its absence means
+    # the artifact still carries the retired serialized-dispatch numbers
+    if missing("microbatch_bench.json", "pipeline_depth"):
+        jobs.append(("microbatch serving",
+                     lambda: run_script("bench_microbatch")))
+    # device_geometry.auto_select marks the r4 shared-grid warp +
+    # measured host/device auto-selection
+    if missing("e2e_latency.json", "process_batch_real_wall_ms_per_image",
+               "device_geometry.auto_select"):
+        jobs.append(("E2E incl. process_batch",
+                     lambda: run_script("bench_e2e")))
     if missing("detector_convergence.json"):
         jobs.append(("detector convergence",
                      lambda: run_script("bench_detector_convergence")))
-    if missing("qat_distill_bench.json"):
+    # qat4_vs_ptq4 marks the r4 w4a8 experiment (the regime QAT is FOR);
+    # bench_qat_distill is incremental — already-measured sections keep
+    if missing("qat_distill_bench.json", "qat4_vs_ptq4"):
         jobs.append(("QAT/distill trainers",
                      lambda: run_script("bench_qat_distill")))
+    if missing("gan_ablation.json", "arm_gan", "arm_l1"):
+        jobs.append(("GAN-vs-L1 ablation",
+                     lambda: run_script("bench_gan_ablation")))
     if not jobs:
         return
 

@@ -102,10 +102,17 @@ class SRModel(BaseModel):
         if getattr(self, "quant_opt", None):
             from ..ops.qat import qat_srvgg_forward
             num_conv, upscale = self._qat_num_conv, self._qat_upscale
+            # quant_opt.weight_bits: 8 = the int8 serving twin (default);
+            # 4 trains w4a8 — the sub-8-bit regime where PTQ collapses
+            bits = int(self.quant_opt.get("weight_bits", 8))
+            if not 2 <= bits <= 8:
+                raise ValueError(f"quant_opt.weight_bits={bits} — the "
+                                 "fake-quant twin supports 2..8")
+            qmax = 2 ** (bits - 1) - 1
 
             def fwd(params, lq, qscale):
                 return qat_srvgg_forward(params, lq, qscale, num_conv,
-                                         upscale)
+                                         upscale, weight_qmax=qmax)
             return fwd
 
         def fwd(params, lq, qscale):

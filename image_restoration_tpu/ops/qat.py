@@ -63,17 +63,20 @@ def fake_quant_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.where(in_band, _ste(x, q), jax.lax.stop_gradient(q))
 
 
-def fake_quant_weight(w: jax.Array) -> jax.Array:
-    """Per-output-channel symmetric int8 fake-quant (HWIO kernel),
-    matching quantize_srvgg_params' weight scheme."""
-    w_scale = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0
+def fake_quant_weight(w: jax.Array, qmax: int = 127) -> jax.Array:
+    """Per-output-channel symmetric fake-quant (HWIO kernel), matching
+    quantize_srvgg_params' weight scheme at qmax=127 (int8). qmax=7
+    trains 4-bit weights — the sub-8-bit regime where plain PTQ
+    collapses and QAT has to earn its keep."""
+    w_scale = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / qmax
     w_scale = jax.lax.stop_gradient(w_scale) + 1e-12
-    q = jnp.clip(jnp.round(w / w_scale), -127, 127) * w_scale
+    q = jnp.clip(jnp.round(w / w_scale), -qmax, qmax) * w_scale
     return _ste(w, q)
 
 
 def qat_srvgg_forward(params: Dict, x: jax.Array, qscale: jax.Array,
-                      num_conv: int, upscale: int = 4
+                      num_conv: int, upscale: int = 4,
+                      weight_qmax: int = 127
                       ) -> Tuple[jax.Array, jax.Array]:
     """Fake-quant SRVGG forward.
 
@@ -84,6 +87,8 @@ def qat_srvgg_forward(params: Dict, x: jax.Array, qscale: jax.Array,
         indexing as ``calibrate_srvgg_act_scales`` (input of each conv,
         input of conv_last, output of conv_last).
       num_conv: body conv count (SRVGGNetCompact.num_conv).
+      weight_qmax: weight quantization ceiling (127 = int8 serving twin;
+        7 = w4a8).
 
     Returns:
       (output, batch_maxima) — batch_maxima has qscale's shape and
@@ -99,15 +104,16 @@ def qat_srvgg_forward(params: Dict, x: jax.Array, qscale: jax.Array,
         h = fake_quant_act(h, qscale[i])
         layer = params[f"body_{i}"]
         h = jax.lax.conv_general_dilated(
-            h, fake_quant_weight(layer["kernel"]), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=dn) + layer["bias"]
+            h, fake_quant_weight(layer["kernel"], weight_qmax), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn) + layer["bias"]
         alpha = params[f"prelu_{i}"]
         h = jnp.where(h >= 0, h, h * alpha)
     maxima.append(jnp.max(jnp.abs(h)))
     h = fake_quant_act(h, qscale[num_conv + 1])
     out = jax.lax.conv_general_dilated(
-        h, fake_quant_weight(params["conv_last"]["kernel"]), (1, 1),
-        ((1, 1), (1, 1)), dimension_numbers=dn) + params["conv_last"]["bias"]
+        h, fake_quant_weight(params["conv_last"]["kernel"], weight_qmax),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn) + params["conv_last"]["bias"]
     maxima.append(jnp.max(jnp.abs(out)))
     # int8 sink: serving quantizes the residual output with s_last and
     # dequantizes in the pixel-shuffle tail (quantized_inference.py:151-163)

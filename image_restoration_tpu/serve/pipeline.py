@@ -131,8 +131,14 @@ def build_geo_fused(plate_restorer, car_restorer, target: int):
         m_ok = jnp.all(jnp.isfinite(m)) & (jnp.abs(det3x3(m)) > 1e-8)
         m_safe = jnp.where(m_ok, m, jnp.eye(3, dtype=m.dtype))
         ok_f = m_ok.astype(crop_rs.dtype)
-        transform = warp_perspective(crop_rs, m_safe) * ok_f
-        plate_warp = warp_perspective(plate_f, m_safe) * ok_f
+        # both warps sample the SAME homography at the same grid: stack
+        # channel-wise so the coordinate math + the 4 bilinear gathers run
+        # ONCE over 6 channels instead of twice over 3 (bilinear is
+        # per-channel — bit-identical to two separate warps). The 2D
+        # gathers are the fused graph's dominant geometry cost on TPU.
+        both = warp_perspective(jnp.concatenate([crop_rs, plate_f],
+                                                axis=-1), m_safe) * ok_f
+        transform, plate_warp = both[..., :3], both[..., 3:]
         pasted = jnp.where((mask > 0)[..., None], plate_warp, car_f)
         return transform, pasted
 
@@ -240,10 +246,19 @@ class PlatePipeline:
                           and hasattr(self.car_restorer,
                                       "restore_batch_u8"))
         self._geo_engine = geo_engine
-        self.device_geometry = bool(geo_engine) or bool(
-            device_geometry
-            and all(hasattr(r, "net") and hasattr(r, "variables")
-                    for r in (self.plate_restorer, self.car_restorer)))
+        geo_capable = bool(geo_engine) or all(
+            hasattr(r, "net") and hasattr(r, "variables")
+            for r in (self.plate_restorer, self.car_restorer))
+        # device_geometry="auto": measure both paths on the first real
+        # batch and lock in the faster one (r3 measured the fused device
+        # graph LOSING to the overlapped host-cv2 path at bs8 — 8.15 vs
+        # 7.47 ms/img — so neither choice is safe to hardcode; it depends
+        # on batch size, host load, and the geometry-op mix)
+        self._geo_auto_pending = (device_geometry == "auto"
+                                  and geo_capable and geo_engine is None)
+        self.device_geometry = bool(geo_engine) or (
+            device_geometry is True and geo_capable)
+        self.geo_auto_ms_per_image = None
         self._geo_fused = None
 
     def _dispatch(self, restorer, rgb_u8_batch: np.ndarray) -> np.ndarray:
@@ -377,6 +392,32 @@ class PlatePipeline:
             "montage": montage,
         }
 
+    def _autoselect_geometry(self, chunk, chunk_size: int):
+        """device_geometry="auto": wall-time one warmed chunk through the
+        host-cv2 path and the fused device path, keep the faster. Runs
+        once, on the first process_batch call (that call pays ~4 extra
+        chunk passes: warm + timed, both paths); process() stays on the
+        host path until a batch call decides."""
+        import time as _time
+        self._geo_auto_pending = False
+        times = {}
+        for flag in (False, True):
+            self.device_geometry = flag
+            self.process_batch(chunk, chunk_size)       # warm / compile
+            t0 = _time.perf_counter()
+            self.process_batch(chunk, chunk_size)
+            times["device" if flag else "host"] = \
+                (_time.perf_counter() - t0) / len(chunk)
+        self.device_geometry = times["device"] <= times["host"]
+        self.geo_auto_ms_per_image = {
+            k: round(v * 1e3, 3) for k, v in times.items()}
+        from ..utils.logger import get_root_logger
+        get_root_logger().info(
+            f"PlatePipeline geometry auto-select (bs={len(chunk)}): host "
+            f"{self.geo_auto_ms_per_image['host']} ms/img vs device "
+            f"{self.geo_auto_ms_per_image['device']} ms/img → "
+            f"{'DEVICE' if self.device_geometry else 'HOST'} path")
+
     # -------------------------------------------------------------- main
 
     def process(self, img_bgr: np.ndarray) -> Dict[str, np.ndarray]:
@@ -420,6 +461,8 @@ class PlatePipeline:
 
         if not len(imgs):
             return []
+        if self._geo_auto_pending and len(imgs) > 1:
+            self._autoselect_geometry(list(imgs[:chunk_size]), chunk_size)
         t = self.TARGET
         ds = self.detector.image_size
         fused = self.plate_restorer is self.car_restorer

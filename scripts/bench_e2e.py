@@ -248,14 +248,28 @@ def main():
         log(f"process_batch device-geometry wall: {wall_geo:.1f} ms/img "
             f"(host path {wall_batch:.1f}; 1 fused dispatch per chunk "
             f"after the detector)")
+        # measured auto-selection (device_geometry="auto"): both paths
+        # wall-timed on one warmed chunk, faster one locked in
+        auto_pipe = PlatePipeline(detector=pipe.detector,
+                                  plate_restorer=pipe.plate_restorer,
+                                  car_restorer=pipe.car_restorer,
+                                  device_geometry="auto")
+        auto_pipe.process_batch(imgs[:8], chunk_size=8)
+        auto = {"selected": "device" if auto_pipe.device_geometry
+                else "host", **(auto_pipe.geo_auto_ms_per_image or {})}
+        log(f"geometry auto-select: host {auto.get('host')} vs device "
+            f"{auto.get('device')} ms/img wall → {auto['selected']}")
+
         geo = {"onchip_fused_ms_bs8": round(ms_geo_8, 3),
                "e2e_ms_per_image_bs8": round(geo_e2e, 2),
                "host_ms_remaining": round(ms_resize, 3),
                "process_batch_wall_ms_per_image": round(wall_geo, 2),
+               "auto_select": auto,
                "note": "ONE dispatch per chunk after the detector: "
                        "mask/crop/resize/restore×2/warp/paste/montage on "
-                       "device (ops/geometry.py); equivalence to the cv2 "
-                       "host stages regression-tested"}
+                       "device (ops/geometry.py, shared-grid 6-channel "
+                       "warp); equivalence to the cv2 host stages "
+                       "regression-tested"}
     except Exception as e:
         # leave the key ABSENT on failure: bench.py's queue skip-check
         # tests key presence, so an error marker here would block

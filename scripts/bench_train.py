@@ -77,12 +77,21 @@ def log(msg):
 # --------------------------------------------------------------- builders
 
 def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
-                         img_hw=256):
+                         img_hw=256, gan_weight=0.1, tiny_net=False):
     """Production GFPGANModel + on-device FFHQ degradation, ready to step.
 
     Mirrors configs/train_gfpgan_plate_256.yml (the TPU port of the
     reference production yml) at the real 256² scale.
-    """
+
+    gan_weight=0.0 (with perceptual=False) is the pure-pixel ablation
+    arm: the step graph is unchanged — D still trains — but the G
+    gradient carries only the pixel/pyramid losses, isolating what the
+    adversarial+perceptual stack contributes
+    (ref basicsr/models/gfpgan_model.py:494-796).
+
+    tiny_net=True swaps in the small CPU-sanity net shapes (same code
+    path as __graft_entry__.dryrun_multichip) — the production 256-feat
+    GAN scan step takes >15 min to compile on CPU."""
     from image_restoration_tpu.models import build_model
     from image_restoration_tpu.data.pipelines import (
         FFHQDegradationConfig, make_ffhq_degradation)
@@ -96,7 +105,7 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
         "pixel_opt": {"type": "L1Loss", "loss_weight": 0.1},
         "L1_opt": {"type": "L1Loss", "loss_weight": 1.0},
         "gan_opt": {"type": "GANLoss", "gan_type": "wgan_softplus",
-                    "loss_weight": 0.1},
+                    "loss_weight": gan_weight},
         "pyramid_loss_weight": 1.0,
         "remove_pyramid_loss": 50000,
         "r1_reg_weight": 10,
@@ -120,12 +129,17 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
         "logger": {"print_freq": 100},
         "model_type": "GFPGANModel",
         "network_g": dict(type="GFPGANv1OCR", input_width=img_hw,
-                          input_height=img_hw, num_style_feat=256,
-                          channel_multiplier=0.5, num_mlp=4,
-                          input_is_latent=True, different_w=True, narrow=1,
+                          input_height=img_hw,
+                          num_style_feat=16 if tiny_net else 256,
+                          channel_multiplier=0.25 if tiny_net else 0.5,
+                          num_mlp=2 if tiny_net else 4,
+                          input_is_latent=True, different_w=True,
+                          narrow=0.5 if tiny_net else 1,
                           sft_half=True, fix_decoder=False, dtype=dtype),
         "network_d": dict(type="StyleGAN2Discriminator", input_width=img_hw,
-                          input_height=img_hw, channel_multiplier=1,
+                          input_height=img_hw,
+                          channel_multiplier=0.25 if tiny_net else 1,
+                          **({"narrow": 0.25} if tiny_net else {}),
                           dtype=dtype),
         "train": train,
     }
@@ -133,18 +147,21 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
     # production defaults (full kernel list); on TPU cap the median/
     # bilateral filters to 6 slots (P(overflow) ~0.1%/step at bs<=16 —
     # see FFHQDegradationConfig.nonlinear_slots)
-    cfg = FFHQDegradationConfig(nonlinear_slots=6 if dtype is not None
-                                else None)
+    cfg = FFHQDegradationConfig(
+        nonlinear_slots=6 if dtype is not None else None,
+        **(dict(kernel_list=("iso", "aniso"), kernel_prob=(0.5, 0.5),
+                downsample_range=(2.0, 4.0)) if tiny_net else {}))
     model.set_degradation_pipeline(make_ffhq_degradation(cfg))
     return model
 
 
 def build_sr_trainer(batch, dtype=None, scale=4, gt_hw=256, num_feat=64,
-                     num_conv=32, quant=False, lr=2e-4):
+                     num_conv=32, quant=False, lr=2e-4, weight_bits=8):
     """SRVGG x4 L1 trainer + second-order Real-ESRGAN degradation.
 
     quant=True adds train.quant_opt (QAT: the step trains the fake-quant
-    twin of the int8 serving graph, ops/qat.py)."""
+    twin of the int8 serving graph, ops/qat.py); weight_bits < 8 trains
+    the sub-8-bit weight regime (w4a8 etc.)."""
     from image_restoration_tpu.models import build_model
     from image_restoration_tpu.data.pipelines import (
         RealESRGANDegradationConfig, make_realesrgan_degradation)
@@ -165,7 +182,8 @@ def build_sr_trainer(batch, dtype=None, scale=4, gt_hw=256, num_feat=64,
             "total_iter": 400000,
             "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
             "ema_decay": 0.999,
-            **({"quant_opt": {}} if quant else {}),
+            **({"quant_opt": {"weight_bits": weight_bits}}
+               if quant else {}),
         },
     }
     model = build_model(opt)

@@ -175,6 +175,13 @@ def main():
                 f"({vp.get('iters')} iters, same init/data)",
                 f"{vp.get('ptq_int8_psnr')} → {vp.get('qat_int8_psnr')} dB "
                 f"({vp['qat_minus_ptq_db']:+} dB)", qd["date"])
+        w4 = qd.get("qat4_vs_ptq4") or {}
+        if "qat_minus_ptq_db" in w4:
+            add("Training", f"QAT vs PTQ at w4a8 ({w4.get('iters')} "
+                f"iters, same init/data)",
+                f"{w4.get('ptq_w4a8_psnr')} → {w4.get('qat_w4a8_psnr')} dB "
+                f"({w4['qat_minus_ptq_db']:+} dB; float "
+                f"{w4.get('float_psnr')} dB)", qd["date"])
         qs = (qd.get("qat_step") or {})
         if len(qs.get("rows") or []) == 2:
             add("Training", f"QAT step overhead (bs={qs['rows'][0]['bs']})",
@@ -188,6 +195,33 @@ def main():
     else:
         add("Training", "QAT/distill trainer steps + QAT-vs-PTQ", "queued",
             "scripts/bench_qat_distill.py")
+    de = load("distill_e2e.json")
+    if de and de.get("complete"):
+        si = de.get("student_distill_int8") or {}
+        add("Training", f"distill E2E: {de.get('teacher')} "
+            f"({de.get('teacher_iters')} iters) → SRVGG student, "
+            f"served int8",
+            f"teacher {de.get('teacher_psnr')} dB → student "
+            f"{si.get('psnr')} dB ({si.get('gap_to_teacher_db')} dB gap) "
+            f"at {de.get('served_tiles_per_sec')} tiles/s "
+            f"({de.get('speedup_vs_rrdb_serving')}× vs direct RRDB); "
+            f"distill−L1 {de.get('distill_minus_l1_db'):+} dB",
+            de["date"])
+    else:
+        add("Training", "distill E2E (BASELINE config #1 via student)",
+            "queued", "scripts/bench_distill_e2e.py")
+    ga = load("gan_ablation.json")
+    if ga and "arm_gan" in ga and "arm_l1" in ga:
+        g, l1 = ga["arm_gan"], ga["arm_l1"]
+        add("Training", f"GAN-vs-L1 ablation ({g.get('iters')} iters "
+            f"each, same init/data)",
+            f"PSNR {g.get('psnr')} vs {l1.get('psnr')} dB; GMS "
+            f"{g.get('gms_vs_gt')} vs {l1.get('gms_vs_gt')}; NIQE "
+            f"{g.get('niqe')} vs {l1.get('niqe')} (GT "
+            f"{ga.get('niqe_gt_anchor')}; lower better)", ga["date"])
+    else:
+        add("Training", "GAN-vs-L1 ablation (PSNR/GMS/NIQE + triptychs)",
+            "queued", "scripts/bench_gan_ablation.py")
 
     # ---- render
     out = ["# Measured benchmarks (auto-generated)",
