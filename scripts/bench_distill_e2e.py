@@ -78,7 +78,10 @@ def build_teacher_trainer(bs, num_block, gt_hw, scale=4, lr=2e-4):
         "network_g": dict(type="RRDBNet", scale=scale, num_feat=64,
                           num_block=num_block),
         "train": {
-            "optim_g": {"type": "Adam", "lr": lr},
+            # grad_clip: one bad batch at iter 3500 of the unclipped run
+            # measured a 60x L1 spike that collapsed live PSNR 31.6 → 6.7
+            # dB and poisoned the EMA — deep RRDB stacks need the bound
+            "optim_g": {"type": "Adam", "lr": lr, "grad_clip": 1.0},
             "scheduler": {"type": "MultiStepLR", "milestones": [400000],
                           "gamma": 0.5},
             "total_iter": 400000,
@@ -164,12 +167,15 @@ def write_artifact(out, final=False):
 
 
 def train_loop(model, pool, bs, total_iters, chunk, seed, val_fn,
-               label, out, curve_key, budget_s=None, ckpt_path=None):
+               label, out, curve_key, budget_s=None, ckpt_path=None,
+               iter_offset=0):
     """Chunked scan training with per-chunk val + artifact persistence.
 
     Returns (state, iters_done). With budget_s, the iteration count
     adapts: after the first (compile-inclusive) chunk, remaining chunks
-    are bounded by measured chunk wall time."""
+    are bounded by measured chunk wall time. iter_offset shifts the
+    recorded/checkpointed iteration numbers when extending a restored
+    teacher (--extend-teacher)."""
     run = sr_scan_loop(model, chunk)
     state = model.state
     rng = jax.random.PRNGKey(seed)
@@ -196,17 +202,19 @@ def train_loop(model, pool, bs, total_iters, chunk, seed, val_fn,
         chunk_cost = dt if chunk_cost is None else min(chunk_cost, dt)
         p_ema = float(val_fn(state["ema_g"]))
         p_live = float(val_fn(state["params_g"]))
-        curve["iters"].append(done)
+        curve["iters"].append(done + iter_offset)
         curve["loss"].append(round(float(losses.mean()), 5))
         curve["val_psnr_ema"].append(round(p_ema, 3))
         curve["val_psnr_live"].append(round(p_live, 3))
-        log(f"  {label} iter {done:5d}: loss {losses.mean():.4f} "
+        log(f"  {label} iter {done + iter_offset:5d}: "
+            f"loss {losses.mean():.4f} "
             f"val {p_ema:.2f} dB (ema) / {p_live:.2f} dB (live) "
             f"[{dt:.1f}s/chunk]")
         if ckpt_path:  # survive a tunnel death mid-stage
             save_params({"params_g": state["params_g"],
                          "ema_g": state["ema_g"],
-                         "iters": np.asarray(done)}, ckpt_path)
+                         "iters": np.asarray(done + iter_offset)},
+                        ckpt_path)
         write_artifact(out)
     return state, done
 
@@ -226,6 +234,18 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--gt", type=int, default=256)
     ap.add_argument("--teacher-blocks", type=int, default=23)
+    ap.add_argument("--teacher-only", action="store_true",
+                    help="stop after stage T (teacher train + eval): use "
+                         "with --extend-teacher windows so each window "
+                         "does not retrain the students; a final full "
+                         "run produces the student/eval stages")
+    ap.add_argument("--extend-teacher", action="store_true",
+                    help="resume the teacher checkpoint and train it "
+                         "FURTHER for --teacher-budget-s (the RRDB-23 "
+                         "teacher learns slower than the SRVGG student "
+                         "early on — it needs several budget windows to "
+                         "pull ahead); students/eval then rerun against "
+                         "the stronger teacher")
     args = ap.parse_args()
 
     tiny = args.tiny
@@ -234,7 +254,10 @@ def main():
         args.teacher_iters, args.student_iters = 4, 4
         args.teacher_budget_s = args.student_budget_s = 1e9
         args.bs, args.chunk, args.gt, args.teacher_blocks = 2, 2, 64, 1
-    guard_backend()
+    # teacher 2400s + two students + compiles exceeds the default 3600s
+    # watchdog; the tunnel also stalls O(minutes) under load, so give the
+    # liveness probe headroom too (observed 134s for a warm tiny op)
+    guard_backend(probe_timeout_s=480, total_timeout_s=10800)
     log(f"devices: {jax.devices()}")
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -258,6 +281,18 @@ def main():
            "val": "held-out real test_images crops, one fixed "
                   "2nd-order degradation",
            "timing": "on-chip lax.scan, jit-argument discipline"}
+    if not tiny and args.extend_teacher:
+        # carry the earlier windows' curve so the full teacher history
+        # survives the whole-artifact rewrite
+        try:
+            old = json.load(open(os.path.join(ASSETS, "distill_e2e.json")))
+            hist = old.get("teacher_curve_history", [])
+            if old.get("teacher_curve"):
+                hist = hist + [old["teacher_curve"]]
+            if hist:
+                out["teacher_curve_history"] = hist
+        except Exception:
+            pass
 
     # one fixed degraded val pair shared by every arm (jit ARGS only)
     probe = build_student_trainer(bs, num_feat, num_conv, gt_hw, scale)
@@ -305,27 +340,42 @@ def main():
         mse = jnp.mean((o - gt.astype(jnp.float32)) ** 2)
         return 10 * jnp.log10(1.0 / mse)
 
-    if os.path.isdir(t_ckpt) and not tiny:
-        restored = load_params(t_ckpt)
-        t_params = {"params_g": restored["params_g"],
-                    "ema_g": restored["ema_g"]}
-        out["teacher_iters"] = int(np.asarray(restored["iters"]))
+    prev = load_params(t_ckpt) if os.path.isdir(t_ckpt) and not tiny \
+        else None
+    if prev is not None and not args.extend_teacher:
+        t_params = {"params_g": prev["params_g"],
+                    "ema_g": prev["ema_g"]}
+        out["teacher_iters"] = int(np.asarray(prev["iters"]))
         log(f"stage T: restored teacher at iter {out['teacher_iters']} "
             f"from {t_ckpt}")
     else:
+        off = 0
+        if prev is not None:  # --extend-teacher: warm-start params + EMA
+            off = int(np.asarray(prev["iters"]))
+            # Adam moments reset (the ckpt carries params only): a ~100-
+            # iter transient at constant lr, irrelevant over a budget
+            # window of thousands of iters
+            teacher.state["params_g"] = jax.tree.map(jnp.asarray,
+                                                     prev["params_g"])
+            teacher.state["ema_g"] = jax.tree.map(jnp.asarray,
+                                                  prev["ema_g"])
+            log(f"stage T: extending teacher from iter {off} "
+                f"(fresh optimizer moments, fresh data-stream seed)")
         log(f"stage T: training RRDB-{args.teacher_blocks} teacher "
             f"(≤{args.teacher_iters} iters, ≤{args.teacher_budget_s:.0f}s)")
         t_state, t_done = train_loop(
-            teacher, pool, bs, args.teacher_iters, args.chunk, seed=1,
+            teacher, pool, bs, args.teacher_iters, args.chunk,
+            seed=1 + off,  # fresh degradation stream per extension window
             val_fn=lambda p: teacher_val_psnr(p, val_imgs, val_key),
             label="teacher", out=out, curve_key="teacher_curve",
             budget_s=args.teacher_budget_s,
-            ckpt_path=None if tiny else t_ckpt)
+            ckpt_path=None if tiny else t_ckpt, iter_offset=off)
         t_params = {"params_g": jax.device_get(t_state["params_g"]),
                     "ema_g": jax.device_get(t_state["ema_g"])}
-        out["teacher_iters"] = t_done
+        out["teacher_iters"] = off + t_done
         if not tiny:
-            save_params({**t_params, "iters": np.asarray(t_done)}, t_ckpt)
+            save_params({**t_params, "iters": np.asarray(off + t_done)},
+                        t_ckpt)
     del teacher
 
     # pick the better teacher head (EMA lags badly at short horizons)
@@ -340,6 +390,14 @@ def main():
     log(f"teacher val: {out['teacher_psnr']} dB / SSIM "
         f"{out['teacher_ssim']} ({out['teacher_head']} head)")
     write_artifact(out)
+    if args.teacher_only:
+        log("--teacher-only: stopping after stage T (students/eval in a "
+            "later full run)")
+        print(json.dumps({"ok": True, "teacher_only": True,
+                          "teacher_iters": out["teacher_iters"],
+                          "teacher_psnr": out["teacher_psnr"]}),
+              flush=True)
+        return
 
     # --------------------------------------------- stage S: student arms
     def student_val_psnr(params, imgs, key):

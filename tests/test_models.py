@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from image_restoration_tpu.models import build_model
 from image_restoration_tpu.models.lr_scheduler import (
@@ -119,7 +120,46 @@ def test_sr_model_loss_decreases(tmp_path):
     assert max(d) > 0
 
 
-def test_sr_model_with_device_degradation(tmp_path):
+def test_optimizer_grad_clip(tmp_path):
+    """optim_g.grad_clip must clip the gradient by GLOBAL norm before
+    the optimizer update (torch analog: clip_grad_norm_ before step).
+    Verified through SGD, where updates scale linearly with the gradient
+    (Adam's first step is scale-invariant, so it cannot witness the
+    clip): a gradient of norm ~200 under grad_clip=0.1 must produce the
+    update of the 0.1/200-scaled gradient — 2000x smaller than the
+    unclipped optimizer's."""
+    def build(clip):
+        opt = _base_opt(tmp_path)
+        opt.update({
+            "model_type": "SRModel",
+            "scale": 2, "gt_size": 16,
+            "network_g": dict(type="MSRResNet", num_feat=8, num_block=1,
+                              upscale=2),
+            "train": {
+                "optim_g": {"type": "SGD", "lr": 1e-3, "momentum": 0.0,
+                            **({"grad_clip": 0.1} if clip else {})},
+                "scheduler": {"type": "MultiStepLR", "milestones": [1000]},
+                "total_iter": 10,
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            },
+        })
+        return build_model(opt)
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((3,))}
+    big = {"w": jnp.full((4,), 100.0), "b": jnp.full((3,), 10.0)}
+    gnorm = float(optax.global_norm(big))
+    pre_scaled = jax.tree.map(lambda g: g * (0.1 / gnorm), big)
+
+    tx_clip = build(True).tx_g
+    tx_plain = build(False).tx_g
+    u_clip, _ = tx_clip.update(big, tx_clip.init(params), params)
+    u_ref, _ = tx_clip.update(pre_scaled, tx_clip.init(params), params)
+    u_plain, _ = tx_plain.update(big, tx_plain.init(params), params)
+    for k in params:
+        np.testing.assert_allclose(u_clip[k], u_ref[k], rtol=1e-6)
+    ratio = float(optax.global_norm(u_plain)) / \
+        float(optax.global_norm(u_clip))
+    assert abs(ratio - gnorm / 0.1) / (gnorm / 0.1) < 1e-4, ratio
     from image_restoration_tpu.data.pipelines import (
         FFHQDegradationConfig, make_ffhq_degradation)
     opt = _base_opt(tmp_path)

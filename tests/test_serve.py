@@ -123,6 +123,34 @@ def test_device_geometry_degenerate_quad(geo_pipeline, rng):
         assert pasted.dtype == np.uint8 and pasted.shape == (t, t, 3)
 
 
+def test_device_geometry_auto_select(pipeline, rng):
+    """device_geometry="auto" defers the host-vs-device choice to a
+    measured first batch: single process() stays on the host path, the
+    first process_batch wall-times both paths on one warmed chunk and
+    locks in the faster (serve/pipeline.py _autoselect_geometry; the r3
+    measurement showed neither choice is safe to hardcode)."""
+    class TinyPipeline(PlatePipeline):
+        TARGET = 64
+
+    auto = TinyPipeline(detector=pipeline.detector,
+                        plate_restorer=pipeline.plate_restorer,
+                        car_restorer=pipeline.car_restorer,
+                        device_geometry="auto")
+    assert auto._geo_auto_pending and not auto.device_geometry
+    img = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    auto.process(img)  # single-image path must not trigger the probe
+    assert auto._geo_auto_pending
+    outs = auto.process_batch([img] * 4, chunk_size=2)
+    assert len(outs) == 4 and not auto._geo_auto_pending
+    ms = auto.geo_auto_ms_per_image
+    assert set(ms) == {"host", "device"} and min(ms.values()) > 0
+    assert auto.device_geometry == (ms["device"] <= ms["host"])
+    t = auto.TARGET
+    for o in outs:
+        assert o["montage"].shape == (t, 6 * t, 3)
+        assert o["montage"].dtype == np.uint8
+
+
 def test_base64_roundtrip(rng):
     img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
     back = base64_to_image(image_to_base64(img))
