@@ -485,6 +485,11 @@ def run_queued_measurements():
                 if not isinstance(node, dict) or part not in node:
                     return False
                 node = node[part]
+            # numeric 0 is a legitimate measurement; boolean False is NOT
+            # (False == 0 in Python — a mid-run `complete: false` must
+            # count as unmeasured)
+            if isinstance(node, bool):
+                return node
             return bool(node) or node == 0
         return any(not has(f) for f in fields)
 
