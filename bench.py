@@ -437,7 +437,7 @@ def _echo_gan_ablation():
 QUEUE_BUDGET_S = 5400
 
 
-def run_queued_measurements():
+def run_queued_measurements(headline=None):
     """Opportunistically run the chip measurements queued behind the r3
     axon tunnel outage (scripts/chip_queue.sh) inside this bench run.
 
@@ -551,6 +551,11 @@ def run_queued_measurements():
             ran = True
         except Exception as e:
             log(f"QUEUED {label} FAILED: {e!r}")
+        if headline is not None:
+            # keep the parseable headline the LAST stdout line after
+            # every job: a queue killed mid-run (driver timeout, tunnel
+            # hang alarm) must still leave a parseable record tail
+            print(json.dumps(headline), flush=True)
     if ran:
         signal.alarm(300)
         echo_artifacts()  # fold the fresh numbers into this run's tail
@@ -801,7 +806,7 @@ def main():
     except Exception as e:
         log(f"GFPGAN diag failed: {e}")
 
-    run_queued_measurements()
+    run_queued_measurements(headline=result)
 
     # Driver contract: the headline JSON must be the FINAL stdout line.
     # The queued scripts above print their own metric JSON lines and the

@@ -281,13 +281,16 @@ def main():
            "val": "held-out real test_images crops, one fixed "
                   "2nd-order degradation",
            "timing": "on-chip lax.scan, jit-argument discipline"}
-    if not tiny and args.extend_teacher:
-        # carry the earlier windows' curve so the full teacher history
-        # survives the whole-artifact rewrite
+    if not tiny:
+        # carry the earlier windows' curves so the full teacher history
+        # survives the whole-artifact rewrite (--extend-teacher appends
+        # the prior window's curve; a restore-only full run keeps the
+        # history as-is)
         try:
             old = json.load(open(os.path.join(ASSETS, "distill_e2e.json")))
             hist = old.get("teacher_curve_history", [])
-            if old.get("teacher_curve"):
+            if old.get("teacher_curve") and (args.extend_teacher or
+                                             not hist):
                 hist = hist + [old["teacher_curve"]]
             if hist:
                 out["teacher_curve_history"] = hist

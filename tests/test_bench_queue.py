@@ -137,6 +137,22 @@ def test_corrupt_artifact_counts_as_unmeasured(bench_mod, tmp_path,
     assert [c[0] for c in calls] == ["bench_video"]
 
 
+def test_headline_reemitted_after_every_job(bench_mod, tmp_path,
+                                            monkeypatch, capsys):
+    """A queue killed mid-run (driver timeout, tunnel-hang alarm) must
+    still leave a parseable headline as the last stdout line — so the
+    headline is re-printed after EVERY job, not only at the end."""
+    calls = []
+    _install_fakes(monkeypatch, tmp_path, calls)
+    headline = {"metric": "m", "value": 1.0, "unit": "u",
+                "vs_baseline": 1.0}
+    bench_mod.run_queued_measurements(headline=headline)
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    emitted = [ln for ln in lines if json.loads(ln) == headline]
+    assert len(emitted) == len(JOBS)
+    assert json.loads(lines[-1]) == headline
+
+
 def test_noop_off_tpu(bench_mod, tmp_path, monkeypatch):
     dev = types.SimpleNamespace(platform="cpu")
     monkeypatch.setattr(bench_mod.jax, "devices", lambda *a: [dev])
