@@ -564,6 +564,9 @@ def run_queued_measurements(headline=None):
             gen_benchmark_table.main()  # keep docs/BENCHMARKS.md current
         except Exception as e:
             log(f"benchmark table regen failed: {e!r}")
+        if headline is not None:
+            # the regen prints to stdout; keep the headline last
+            print(json.dumps(headline), flush=True)
     signal.alarm(0)
 
 

@@ -148,9 +148,16 @@ def test_headline_reemitted_after_every_job(bench_mod, tmp_path,
                 "vs_baseline": 1.0}
     bench_mod.run_queued_measurements(headline=headline)
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
-    emitted = [ln for ln in lines if json.loads(ln) == headline]
-    assert len(emitted) == len(JOBS)
-    assert json.loads(lines[-1]) == headline
+
+    def is_headline(ln):
+        try:
+            return json.loads(ln) == headline
+        except ValueError:
+            return False  # table-regen/log prints on stdout
+
+    # once after every job + once after the table regen, and LAST
+    assert sum(map(is_headline, lines)) == len(JOBS) + 1
+    assert is_headline(lines[-1])
 
 
 def test_noop_off_tpu(bench_mod, tmp_path, monkeypatch):
