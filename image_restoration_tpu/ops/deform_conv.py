@@ -8,14 +8,23 @@ gathers XLA lowers to dynamic-slices) and contract the (K·Cin) axis with the
 weights in ONE einsum on the MXU. Gradients come from jax.grad — no custom
 backward.
 
-Layouts: x (N,H,W,Cin); offset (N,Ho,Wo,2K) in torch channel order
-(y0,x0,y1,x1,...) matching DCNv2Pack's conv_offset output
-(archs/arch_util.py:204-227); mask (N,Ho,Wo,K); weight (kh,kw,Cin,Cout).
+TPU layout note: every materialized intermediate keeps the flattened
+spatial axis (Ho·Wo, tens of thousands of elements) MINOR. The naive
+NHWC·K im2col layout puts K=9 or Cin/groups=8 in the minor tiled dims,
+which TPU (8,128)/(16,128) tile padding inflates 14–28× — enough to OOM
+HBM on EDVR's (4,180,320) pyramid. With spatial minor, padding is
+negligible and deformable groups are handled in ONE batched gather
+instead of a per-group Python loop.
+
+Layouts (API unchanged): x (N,H,W,Cin); offset (N,Ho,Wo,2K·G) in torch
+channel order — per deformable group, tap t's (y,x) at channels
+(2t, 2t+1) — matching DCNv2Pack's conv_offset output
+(archs/arch_util.py:204-227); mask (N,Ho,Wo,K·G); weight (kh,kw,Cin,Cout).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,75 +35,60 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array,
                           bias: Optional[jax.Array] = None, stride: int = 1,
                           padding: int = 1, dilation: int = 1,
                           deformable_groups: int = 1) -> jax.Array:
-    if deformable_groups > 1:
-        # split channels into G groups, each with its own offsets/mask
-        g = deformable_groups
-        n, h, w, cin = x.shape
-        kh, kw, _, cout = weight.shape
-        k = kh * kw
-        xs = jnp.split(x, g, axis=-1)
-        offs = jnp.split(offset.reshape(*offset.shape[:3], g, 2 * k), g, 3)
-        masks = [None] * g if mask is None else \
-            jnp.split(mask.reshape(*mask.shape[:3], g, k), g, 3)
-        outs = []
-        for gi in range(g):
-            wg = weight[:, :, gi * (cin // g):(gi + 1) * (cin // g), :]
-            mg = None if masks[gi] is None else masks[gi][..., 0, :]
-            outs.append(modulated_deform_conv(
-                xs[gi], offs[gi][..., 0, :], mg, wg, None, stride, padding,
-                dilation, 1))
-        out = sum(outs)
-        if bias is not None:
-            out = out + bias
-        return out
-
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     k = kh * kw
+    g = deformable_groups
+    if cin % g:
+        raise ValueError(f"cin={cin} not divisible by groups={g}")
+    cpg = cin // g
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    L = ho * wo
 
-    # base sampling positions per output pixel and tap
+    # sampling positions, (n, g, k, ho, wo) — spatial minor throughout
     oy = jnp.arange(ho, dtype=x.dtype) * stride - padding
     ox = jnp.arange(wo, dtype=x.dtype) * stride - padding
-    ky = jnp.arange(kh, dtype=x.dtype) * dilation
-    kx = jnp.arange(kw, dtype=x.dtype) * dilation
-    base_y = oy[:, None, None] + jnp.repeat(ky, kw)[None, None, :]  # (Ho,1,K)
-    base_x = ox[None, :, None] + jnp.tile(kx, kh)[None, None, :]   # (1,Wo,K)
+    ky = jnp.repeat(jnp.arange(kh, dtype=x.dtype) * dilation, kw)  # (K,)
+    kx = jnp.tile(jnp.arange(kw, dtype=x.dtype) * dilation, kh)
+    base_y = ky[:, None, None] + oy[None, :, None]   # (K, Ho, 1)
+    base_x = kx[:, None, None] + ox[None, None, :]   # (K, 1, Wo)
 
-    off = offset.reshape(n, ho, wo, k, 2)
-    sy = base_y[None] + off[..., 0]
-    sx = base_x[None] + off[..., 1]
+    off = offset.reshape(n, ho, wo, g, k, 2)
+    off = jnp.transpose(off, (0, 3, 4, 5, 1, 2))     # (n, g, K, 2, Ho, Wo)
+    sy = base_y[None, None] + off[:, :, :, 0]
+    sx = base_x[None, None] + off[:, :, :, 1]
 
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
-    wy = sy - y0
-    wx = sx - x0
+    wy = (sy - y0).reshape(n, g, 1, k, L)
+    wx = (sx - x0).reshape(n, g, 1, k, L)
 
-    flat = x.reshape(n, h * w, cin)
+    # feature map with channels split by group, spatial minor
+    xt = jnp.transpose(x.reshape(n, h * w, g, cpg), (0, 2, 3, 1))
 
     def gather(yi, xi):
         inside = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        idx = (yc * w + xc).reshape(n, -1)  # (N, Ho*Wo*K)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        vals = vals.reshape(n, ho, wo, k, cin)
-        return vals * inside[..., None].astype(x.dtype)
+        idx = (yc * w + xc).reshape(n, g, 1, k * L)
+        vals = jnp.take_along_axis(xt, idx, axis=3)  # (n, g, cpg, K·L)
+        vals = vals.reshape(n, g, cpg, k, L)
+        return vals * inside.reshape(n, g, 1, k, L).astype(x.dtype)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
     v10 = gather(y0 + 1, x0)
     v11 = gather(y0 + 1, x0 + 1)
-    wy = wy[..., None]
-    wx = wx[..., None]
     samples = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-               v10 * wy * (1 - wx) + v11 * wy * wx)  # (N,Ho,Wo,K,Cin)
+               v10 * wy * (1 - wx) + v11 * wy * wx)  # (n, g, cpg, K, L)
     if mask is not None:
-        samples = samples * mask[..., None]
+        m = jnp.transpose(mask.reshape(n, ho, wo, g, k), (0, 3, 4, 1, 2))
+        samples = samples * m.reshape(n, g, 1, k, L)
 
-    out = jnp.einsum("nhwkc,kco->nhwo", samples,
-                     weight.reshape(k, cin, cout))
+    out = jnp.einsum("ngckl,kgco->nlo", samples,
+                     weight.reshape(k, g, cpg, cout))
+    out = out.reshape(n, ho, wo, cout)
     if bias is not None:
         out = out + bias
     return out
