@@ -140,8 +140,8 @@ def test_device_geometry_auto_select(pipeline, rng):
     img = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
     auto.process(img)  # single-image path must not trigger the probe
     assert auto._geo_auto_pending
-    outs = auto.process_batch([img] * 4, chunk_size=2)
-    assert len(outs) == 4 and not auto._geo_auto_pending
+    outs = auto.process_batch([img] * 2, chunk_size=2)
+    assert len(outs) == 2 and not auto._geo_auto_pending
     ms = auto.geo_auto_ms_per_image
     assert set(ms) == {"host", "device"} and min(ms.values()) > 0
     assert auto.device_geometry == (ms["device"] <= ms["host"])
