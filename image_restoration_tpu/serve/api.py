@@ -52,7 +52,7 @@ class ServiceCore:
 
     def __init__(self, pipeline: Optional[PlatePipeline] = None,
                  restorer=None, sr_engine=None,
-                 microbatch: Optional[int] = None,
+                 microbatch=None,  # int, "auto", or None (env)
                  microbatch_wait_ms: float = 5.0,
                  device_io: bool = True, device_geometry: bool = False):
         """device_io routes /Restore//RestoreConcat/ through
@@ -84,11 +84,38 @@ class ServiceCore:
         # dynamic micro-batching of concurrent /Restore//RestoreConcat/
         # requests into one device dispatch (serve/batching.py); opt-in via
         # the arg or IRT_MICROBATCH=<max batch>. 0/absent = per-request
-        # dispatch, matching the reference servers' behavior.
+        # dispatch, matching the reference servers' behavior. "auto"
+        # MEASURES both dispatch regimes on this host↔device link at
+        # startup (serve/batching.py calibrate) and enables batching only
+        # where coalescing actually beats concurrent per-request
+        # dispatches — it wins on a local chip (batch scaling 358→632
+        # imgs/s) and loses through a high-latency tunnel (measured
+        # 0.45–0.55×, docs/assets/microbatch_bench.json).
         if microbatch is None:
-            microbatch = int(os.environ.get("IRT_MICROBATCH", "0") or 0)
+            microbatch = os.environ.get("IRT_MICROBATCH", "0") or 0
+        if isinstance(microbatch, str) and microbatch.strip().lower() != "auto":
+            microbatch = int(microbatch.strip() or 0)
         self.batcher = None
         self.pipeline_batcher = None
+        self.microbatch_decision = None
+        if isinstance(microbatch, str):  # "auto"
+            from .batching import calibrate
+            max_b = int(os.environ.get("IRT_MICROBATCH_MAX", "32") or 32)
+            size = self.restorer.input_size[0] or 256
+            probe = (np.random.default_rng(0).random((size, size, 3))
+                     * 255)
+            if self.device_io:
+                item, fn = probe.astype(np.uint8), \
+                    self.restorer.restore_batch_u8
+            else:
+                item, fn = (probe / 255.0).astype(np.float32), \
+                    self.restorer.restore_batch
+            self.microbatch_decision = calibrate(fn, item, max_batch=max_b)
+            microbatch = max_b if self.microbatch_decision["recommend"] \
+                else 0
+            print("microbatch auto-select:",
+                  "ON" if microbatch else "OFF (per-request dispatch)",
+                  self.microbatch_decision, flush=True)
         if microbatch:
             from .batching import MicroBatcher
             # pipeline_depth > 1 overlaps a batch's device round-trip with
@@ -268,9 +295,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description="restoration serving host")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--microbatch", type=int, default=0,
+    ap.add_argument("--microbatch", default="0",
                     help="coalesce concurrent restore requests into one "
-                         "device dispatch of up to N (0 = per-request)")
+                         "device dispatch of up to N (0 = per-request; "
+                         "'auto' = measure both regimes at startup and "
+                         "pick the faster)")
     ap.add_argument("--microbatch-wait-ms", type=float, default=5.0)
     ap.add_argument("--host-io", action="store_true",
                     help="normalize/convert on the host (reference-exact) "

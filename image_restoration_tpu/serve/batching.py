@@ -52,7 +52,11 @@ class MicroBatcher:
     Batching policy ("natural batching"): arrivals are drained greedily;
     the `max_wait_ms` hold applies ONLY when no batch is in flight (an
     in-flight dispatch already provides a coalescing window for free, so
-    waiting on top of it would just add latency).
+    waiting on top of it would just add latency). A `min_fill` floor stops
+    the free-slot early-ship from dispatching starved (size-1/2) batches:
+    below the floor the dispatcher keeps waiting out the window, and the
+    window is refreshed whenever the pipeline is saturated (time spent
+    blocked on a full pipeline is free coalescing, not hold latency).
 
     Args:
         batch_fn: maps a stacked (N, ...) array to an (N, ...) result array.
@@ -76,12 +80,18 @@ class MicroBatcher:
             consumers that handle heterogeneous shapes and their own
             padding, e.g. PlatePipeline.process_batch.
         pipeline_depth: max concurrently in-flight batch_fn calls.
+        min_fill: smallest batch the free-slot early-ship may dispatch
+            (the wait-window expiry may still ship smaller). Default
+            max_batch // 4. Guards against the measured r4 pathology of
+            a freed pipeline slot draining one-item batches onto a
+            dispatch path whose per-call overhead dwarfs per-item cost.
     """
 
     def __init__(self, batch_fn: Callable[[np.ndarray], np.ndarray],
                  max_batch: int = 32, max_wait_ms: float = 5.0,
                  buckets: Optional[Sequence[int]] = None,
-                 stack: bool = True, pipeline_depth: int = 2):
+                 stack: bool = True, pipeline_depth: int = 2,
+                 min_fill: Optional[int] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.batch_fn = batch_fn
@@ -93,6 +103,8 @@ class MicroBatcher:
         if self.buckets[-1] < self.max_batch:
             raise ValueError("largest bucket must cover max_batch")
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.min_fill = max(1, self.max_batch // 4) if min_fill is None \
+            else max(1, min(int(min_fill), self.max_batch))
         self.stats = {"items": 0, "dispatches": 0, "padded_rows": 0,
                       "batch_hist": {}}
         self._q: queue.Queue = queue.Queue()
@@ -146,14 +158,20 @@ class MicroBatcher:
                     if inflight >= self.pipeline_depth:
                         # every pipeline slot is busy: dispatching now
                         # would only queue behind them — keep draining
-                        # arrivals instead (free coalescing window)
+                        # arrivals instead (free coalescing window), and
+                        # refresh the hold window so a freed slot doesn't
+                        # inherit an already-expired deadline
+                        deadline = time.monotonic() + self.max_wait_s
                         time.sleep(2e-4)
                         continue
-                    if inflight > 0:
-                        # a slot is free AND work is in flight: ship what
-                        # we have to overlap with it; waiting longer only
+                    if inflight > 0 and len(batch) >= self.min_fill:
+                        # a slot is free, work is in flight, and the
+                        # batch is reasonably full: ship it to overlap
+                        # with the in-flight work; waiting longer only
                         # adds latency (the next batch coalesces while
-                        # this one round-trips)
+                        # this one round-trips). Below min_fill, fall
+                        # through to the timed wait instead of feeding
+                        # the dispatch path starved batches.
                         break
                     timeout = deadline - time.monotonic()
                     if timeout <= 0:
@@ -214,3 +232,73 @@ class MicroBatcher:
                 f.set_result(o)
             except Exception:
                 pass  # caller cancelled; must not kill the dispatcher
+
+
+def calibrate(batch_fn: Callable[[np.ndarray], np.ndarray],
+              item: np.ndarray, max_batch: int = 32,
+              concurrency: int = 16, repeats: int = 3,
+              margin: float = 1.05) -> dict:
+    """Measure whether coalescing wins on THIS host↔device link.
+
+    Micro-batching trades per-dispatch overhead against serialization:
+    it wins when the chip's batch-size scaling (e.g. 358 → 632 imgs/s for
+    the production GFPGAN generator, batch 4 → 32 — docs/PERFORMANCE.md)
+    exceeds what concurrent per-request dispatches already recover by
+    overlapping their round-trips. On a local chip it wins; through a
+    high-latency tunnel (40 ms–1.3 s per dispatch) the measured r3/r4
+    result was 0.45–0.55×: many overlapped small RPCs beat few large
+    ones. Which regime a deployment is in is a property of the link, so
+    it is MEASURED here, not assumed.
+
+    Times two arms with the same warmed `batch_fn`:
+      per_request — `concurrency` threads each dispatching one item
+          concurrently (the reference servers' behavior under load,
+          Car_Plate-Restoration/api.py:125-151);
+      batched — one `max_batch`-size dispatch (the steady-state
+          micro-batcher dispatch; pipelining only raises this).
+
+    Returns a dict with both rates, their ratio, and
+    ``recommend`` = batched beats per_request by ≥ `margin`.
+    """
+    item = np.asarray(item)
+    one = item[None]
+    full = np.repeat(one, max_batch, axis=0)
+    batch_fn(one)  # warm both shapes (jit compile) outside timing
+    batch_fn(full)
+
+    per_req_rate = 0.0
+    for _ in range(repeats):
+        barrier = threading.Barrier(concurrency + 1)
+
+        def worker():
+            barrier.wait()
+            batch_fn(one)
+
+        threads = [threading.Thread(target=worker)
+                   for _ in range(concurrency)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.monotonic()
+        for t in threads:
+            t.join()
+        per_req_rate = max(per_req_rate,
+                           concurrency / (time.monotonic() - t0))
+
+    batched_rate = 0.0
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        batch_fn(full)
+        batched_rate = max(batched_rate,
+                           max_batch / (time.monotonic() - t0))
+
+    speedup = batched_rate / max(per_req_rate, 1e-9)
+    return {
+        "per_request_imgs_per_s": round(per_req_rate, 2),
+        "batched_imgs_per_s": round(batched_rate, 2),
+        "speedup": round(speedup, 3),
+        "concurrency": concurrency,
+        "max_batch": max_batch,
+        "margin": margin,
+        "recommend": bool(speedup >= margin),
+    }

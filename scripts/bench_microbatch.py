@@ -124,6 +124,22 @@ def main():
                       "value": round(speedup, 3), "unit": "x",
                       "clients": args.clients,
                       "quant": args.quant}), flush=True)
+
+    # the production answer: measured auto-selection (ServiceCore
+    # microbatch="auto") — record which regime this link is in and the
+    # calibration numbers that decided it
+    os.environ["IRT_MICROBATCH_MAX"] = str(args.max_batch)
+    auto_core = ServiceCore(pipeline=fake_pipe, restorer=restorer,
+                            microbatch="auto",
+                            microbatch_wait_ms=args.wait_ms)
+    auto = {"selected": "microbatch" if auto_core.batcher is not None
+            else "per_request",
+            "calibration": auto_core.microbatch_decision}
+    if auto_core.batcher is not None:
+        auto_core.batcher.stop()
+    if auto_core.pipeline_batcher is not None:
+        auto_core.pipeline_batcher.stop()
+    print("auto", json.dumps(auto), flush=True)
     import jax
     if args.tiny or jax.devices()[0].platform != "tpu":
         print("tiny/non-TPU run — NOT writing microbatch_bench.json "
@@ -138,7 +154,7 @@ def main():
                    "max_batch": args.max_batch, "wait_ms": args.wait_ms,
                    "pipeline_depth": args.pipeline_depth,
                    "quant": args.quant, "speedup": round(speedup, 3),
-                   "results": results}, f, indent=1)
+                   "auto": auto, "results": results}, f, indent=1)
     print(f"wrote {path}", file=sys.stderr, flush=True)
 
 

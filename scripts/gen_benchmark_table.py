@@ -98,10 +98,14 @@ def main():
     if mb:
         r = mb.get("results", {})
         if "per_request" in r and "microbatch" in r:
+            auto = mb.get("auto", {})
+            sel = (f"; auto-select → {auto['selected']} "
+                   f"(calib {auto['calibration']['speedup']}×)"
+                   if auto.get("calibration") else "")
             add("Serving", f"micro-batching ({mb['clients']} clients)",
                 f"{r['per_request']['imgs_per_s']:.0f} → "
                 f"{r['microbatch']['imgs_per_s']:.0f} imgs/s "
-                f"({mb['speedup']}×)", mb["date"])
+                f"({mb['speedup']}×){sel}", mb["date"])
     else:
         add("Serving", "micro-batching coalesced throughput", "queued",
             "scripts/bench_microbatch.py")

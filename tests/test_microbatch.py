@@ -305,6 +305,103 @@ def test_pipeline_depth_one_serializes():
     b.stop()
 
 
+def test_min_fill_blocks_starved_dispatches():
+    """A freed pipeline slot must not drain one-item batches (the r4
+    chip-measured pathology: 7 size-1 dispatches in a 256-item run,
+    docs/assets/microbatch_bench.json). With min_fill=4, a trickle that
+    arrives while a batch is in flight coalesces to >=4 (or waits out
+    the full window) instead of shipping singles."""
+    batch_fn, calls = make_recorder(delay_s=0.15)
+    b = MicroBatcher(batch_fn, max_batch=8, max_wait_ms=100.0,
+                     pipeline_depth=2, min_fill=4)
+    first = [b.submit(np.full((2, 2), i, np.float32)) for i in range(8)]
+    time.sleep(0.01)  # first batch (size 8) now in flight
+    trickle = []
+    for i in range(4):  # one item every 10 ms while it round-trips
+        trickle.append(b.submit(np.full((2, 2), 10 + i, np.float32)))
+        time.sleep(0.01)
+    for f in first + trickle:
+        f.result(timeout=10)
+    assert all(c >= 4 for c in calls), calls
+    b.stop()
+
+
+def test_calibrate_recommends_batching_for_overhead_bound_fn():
+    """Fixed per-dispatch cost (the local-chip regime: dispatch overhead
+    dwarfs per-item compute at these sizes) -> coalescing wins."""
+    from image_restoration_tpu.serve.batching import calibrate
+
+    def overhead_fn(arr):
+        time.sleep(0.03)  # constant, batch-size independent
+        return arr
+
+    d = calibrate(overhead_fn, np.zeros((2, 2), np.float32),
+                  max_batch=16, concurrency=8, repeats=2)
+    assert d["recommend"] is True
+    assert d["batched_imgs_per_s"] > d["per_request_imgs_per_s"]
+
+
+def test_calibrate_recommends_per_request_for_item_bound_fn():
+    """Pure per-item cost with no batch advantage (the high-latency
+    tunnel regime: concurrent small RPCs already overlap) -> coalescing
+    cannot win and must not be recommended."""
+    from image_restoration_tpu.serve.batching import calibrate
+
+    def item_fn(arr):  # concurrent calls overlap (tunnel RPCs do)
+        time.sleep(0.002 * arr.shape[0])
+        return arr
+
+    d = calibrate(item_fn, np.zeros((2, 2), np.float32),
+                  max_batch=16, concurrency=8, repeats=2)
+    assert d["recommend"] is False
+
+
+def test_service_core_auto_selects_and_records_decision(monkeypatch):
+    """ServiceCore(microbatch='auto') measures the link and keeps the
+    batcher only when coalescing wins; the calibration that decided it
+    is recorded either way."""
+    from image_restoration_tpu.serve.api import ServiceCore
+    monkeypatch.setenv("IRT_MICROBATCH_MAX", "8")
+
+    class OverheadStub(_StubRestorer):
+        # serialized "device" (a real chip runs one graph at a time)
+        # with a fixed per-dispatch cost -> coalescing wins
+        lock = threading.Lock()
+
+        def restore_batch(self, imgs):
+            self.batch_sizes.append(imgs.shape[0])
+            with self.lock:
+                time.sleep(0.005 + 0.001 * imgs.shape[0])
+            return (imgs[..., ::-1] * 255).astype(np.uint8)
+
+    stub = OverheadStub()
+    core = ServiceCore(pipeline=SimpleNamespace(car_restorer=stub),
+                       restorer=stub, microbatch="auto")
+    try:
+        assert core.microbatch_decision["recommend"] is True
+        assert core.batcher is not None
+        assert core.batcher.max_batch == 8
+    finally:
+        if core.batcher is not None:
+            core.batcher.stop()
+        if core.pipeline_batcher is not None:
+            core.pipeline_batcher.stop()
+
+    class ItemBoundStub(_StubRestorer):
+        # concurrent calls overlap (tunnel RPCs do) with pure per-item
+        # cost -> coalescing cannot win
+        def restore_batch(self, imgs):
+            time.sleep(0.002 * imgs.shape[0])
+            return (imgs[..., ::-1] * 255).astype(np.uint8)
+
+    stub2 = ItemBoundStub()
+    core2 = ServiceCore(pipeline=SimpleNamespace(car_restorer=stub2),
+                        restorer=stub2, microbatch="auto")
+    assert core2.microbatch_decision["recommend"] is False
+    assert core2.batcher is None  # falls back to per-request dispatch
+    assert core2.pipeline_batcher is None
+
+
 def test_cancelled_future_does_not_kill_dispatcher():
     """A caller that cancels its Future (gave up waiting) must not crash
     the dispatcher thread — later requests still get served."""
