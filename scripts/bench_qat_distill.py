@@ -188,18 +188,22 @@ def bench_qat_vs_ptq(total_iters=600, chunk=100, bs=8, num_feat=64,
 
 
 def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
-               gt_hw=256, scale=4, seed=0):
-    """The regime QAT exists for: 4-bit weights (w4a8), where plain PTQ
-    collapses. Same init + data stream: float training then 4-bit weight
-    PTQ vs 4-bit QAT; both judged through the EXACT w4a8 fake-quant
-    serving twin (ops/qat.py qat_srvgg_forward, weight_qmax=7 — per-
-    channel symmetric, the arithmetic a 4-bit deployment would run) on a
-    held-out degraded val batch. Complements bench_qat_vs_ptq, which
-    measured int8 where PTQ already suffices (r3: −0.023 dB)."""
+               gt_hw=256, scale=4, seed=0, weight_bits=4):
+    """The regime QAT exists for: sub-8-bit weights, where plain PTQ
+    degrades. Same init + data stream: float training then `weight_bits`
+    weight PTQ vs QAT at the same width; both judged through the EXACT
+    fake-quant serving twin (ops/qat.py qat_srvgg_forward, per-channel
+    symmetric — the arithmetic such a deployment would run) on a held-out
+    degraded val batch. Complements bench_qat_vs_ptq, which measured int8
+    where PTQ already suffices (r3: −0.023 dB). Chip-measured r4: even
+    w4a8 PTQ holds within 0.02 dB of float on this net, so the collapse
+    regime is probed at 2-bit (ternary per-channel) weights."""
     from image_restoration_tpu.ops.qat import qat_srvgg_forward
     from image_restoration_tpu.ops.quantized_inference import (
         calibrate_srvgg_act_scales)
 
+    qmax = 2 ** (weight_bits - 1) - 1
+    tag = f"qat{weight_bits}"
     rng_np = np.random.default_rng(seed)
     pool = jnp.asarray(real_crops(gt_hw, 64 if total_iters > 100 else 8,
                                   rng_np), jnp.float32)
@@ -211,7 +215,8 @@ def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
     def train(quant):
         model = build_sr_trainer(bs, dtype=None, gt_hw=gt_hw,
                                  num_feat=num_feat, num_conv=num_conv,
-                                 quant=quant, lr=1e-3, weight_bits=4)
+                                 quant=quant, lr=1e-3,
+                                 weight_bits=weight_bits)
         run = sr_scan_loop(model, chunk)
         state = model.state
         rng = jax.random.PRNGKey(seed + 1)  # same stream for both arms
@@ -223,7 +228,7 @@ def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
             losses = np.asarray(out[1])
             assert np.all(np.isfinite(losses)), f"non-finite at {done}"
             done += chunk
-            log(f"  {'qat4' if quant else 'float'} iter {done}: "
+            log(f"  {tag if quant else 'float'} iter {done}: "
                 f"loss {losses.mean():.4f}")
         return model, state
 
@@ -238,7 +243,7 @@ def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
     @jax.jit
     def w4a8_out(params, qscale, lq):
         out, _ = qat_srvgg_forward(params, lq, qscale, num_conv,
-                                   upscale=scale, weight_qmax=7)
+                                   upscale=scale, weight_qmax=qmax)
         return out
 
     @jax.jit
@@ -251,11 +256,13 @@ def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
         return _span_psnr(np.asarray(gt_val, np.float32), out)
 
     result = {"iters": total_iters, "bs": bs,
-              "config": f"SRVGG {num_feat}f/{num_conv}c x{scale} w4a8 "
-                        "(weight_qmax=7 per-channel), real test_images "
-                        "crops, same init + data stream",
+              "config": f"SRVGG {num_feat}f/{num_conv}c x{scale} "
+                        f"w{weight_bits}a8 (weight_qmax={qmax} "
+                        "per-channel), real test_images crops, same "
+                        "init + data stream",
               "val": "held-out crops, one fixed 2nd-order degradation, "
-                     "judged through the exact w4a8 fake-quant twin"}
+                     f"judged through the exact w{weight_bits}a8 "
+                     "fake-quant twin"}
 
     # arm 1: float training, then 4-bit weight PTQ (calibrated act scales)
     t0 = time.perf_counter()
@@ -280,7 +287,7 @@ def bench_w4a8(total_iters=600, chunk=100, bs=8, num_feat=64, num_conv=32,
     result["qat_arm_wall_s"] = round(time.perf_counter() - t0, 1)
     result["qat_minus_ptq_db"] = round(
         result["qat_w4a8_psnr"] - result["ptq_w4a8_psnr"], 3)
-    log(f"w4a8 val PSNR: PTQ {result['ptq_w4a8_psnr']} dB vs QAT "
+    log(f"w{weight_bits}a8 val PSNR: PTQ {result['ptq_w4a8_psnr']} dB vs QAT "
         f"{result['qat_w4a8_psnr']} dB (float {result['float_psnr']} dB) "
         f"— QAT-PTQ = {result['qat_minus_ptq_db']:+} dB")
     del model_q, state_q
@@ -369,6 +376,9 @@ def main():
                                              gt_hw=64)
         out["qat4_vs_ptq4"] = bench_w4a8(total_iters=40, chunk=20, bs=2,
                                          num_feat=8, num_conv=2, gt_hw=64)
+        out["qat2_vs_ptq2"] = bench_w4a8(total_iters=40, chunk=20, bs=2,
+                                         num_feat=8, num_conv=2, gt_hw=64,
+                                         weight_bits=2)
         out["distill_step"] = bench_distill_step(
             batch_sizes=(2,), iters=2, num_feat=8, num_conv=2,
             teacher_blocks=1, gt_hw=64)
@@ -379,6 +389,8 @@ def main():
             out["qat_vs_ptq"] = bench_qat_vs_ptq()
         if "qat4_vs_ptq4" not in out:
             out["qat4_vs_ptq4"] = bench_w4a8()
+        if "qat2_vs_ptq2" not in out:
+            out["qat2_vs_ptq2"] = bench_w4a8(weight_bits=2)
         if "distill_step" not in out:
             out["distill_step"] = bench_distill_step()
     if tiny or jax.devices()[0].platform != "tpu":
@@ -389,9 +401,10 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
-    print(json.dumps({"metric": "qat4_minus_ptq4_db",
-                      "value": out["qat4_vs_ptq4"]["qat_minus_ptq_db"],
-                      "unit": "dB_w4a8_val"}), flush=True)
+    print(json.dumps({"metric": "qat_minus_ptq_db",
+                      "w4a8": out["qat4_vs_ptq4"]["qat_minus_ptq_db"],
+                      "w2a8": out["qat2_vs_ptq2"]["qat_minus_ptq_db"],
+                      "unit": "dB_val"}), flush=True)
 
 
 if __name__ == "__main__":

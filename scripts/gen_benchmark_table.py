@@ -179,13 +179,16 @@ def main():
                 f"({vp.get('iters')} iters, same init/data)",
                 f"{vp.get('ptq_int8_psnr')} → {vp.get('qat_int8_psnr')} dB "
                 f"({vp['qat_minus_ptq_db']:+} dB)", qd["date"])
-        w4 = qd.get("qat4_vs_ptq4") or {}
-        if "qat_minus_ptq_db" in w4:
-            add("Training", f"QAT vs PTQ at w4a8 ({w4.get('iters')} "
-                f"iters, same init/data)",
-                f"{w4.get('ptq_w4a8_psnr')} → {w4.get('qat_w4a8_psnr')} dB "
-                f"({w4['qat_minus_ptq_db']:+} dB; float "
-                f"{w4.get('float_psnr')} dB)", qd["date"])
+        for key, lbl in (("qat4_vs_ptq4", "w4a8"), ("qat2_vs_ptq2",
+                                                    "w2a8")):
+            w4 = qd.get(key) or {}
+            if "qat_minus_ptq_db" in w4:
+                add("Training", f"QAT vs PTQ at {lbl} ({w4.get('iters')} "
+                    f"iters, same init/data)",
+                    f"{w4.get('ptq_w4a8_psnr')} → "
+                    f"{w4.get('qat_w4a8_psnr')} dB "
+                    f"({w4['qat_minus_ptq_db']:+} dB; float "
+                    f"{w4.get('float_psnr')} dB)", qd["date"])
         qs = (qd.get("qat_step") or {})
         if len(qs.get("rows") or []) == 2:
             add("Training", f"QAT step overhead (bs={qs['rows'][0]['bs']})",
