@@ -508,9 +508,11 @@ def run_queued_measurements(headline=None):
                      lambda: run_script("bench_distill_e2e")))
     if missing("video_bench.json"):
         jobs.append(("video SR serving", lambda: run_script("bench_video")))
-    # pipeline_depth marks the r4 PIPELINED dispatcher — its absence means
-    # the artifact still carries the retired serialized-dispatch numbers
-    if missing("microbatch_bench.json", "pipeline_depth"):
+    # auto.calibration marks the r4 measured auto-selection (min_fill
+    # dispatcher + calibrate()); older artifacts carry retired dispatch
+    # regimes and re-queue
+    if missing("microbatch_bench.json", "pipeline_depth",
+               "auto.calibration"):
         jobs.append(("microbatch serving",
                      lambda: run_script("bench_microbatch")))
     # device_geometry.auto_select marks the r4 shared-grid warp +
@@ -522,14 +524,19 @@ def run_queued_measurements(headline=None):
     if missing("detector_convergence.json"):
         jobs.append(("detector convergence",
                      lambda: run_script("bench_detector_convergence")))
-    # qat4_vs_ptq4 marks the r4 w4a8 experiment (the regime QAT is FOR);
-    # bench_qat_distill is incremental — already-measured sections keep
-    if missing("qat_distill_bench.json", "qat4_vs_ptq4"):
+    # qat{4,2}_vs_ptq{4,2} mark the r4 low-bit experiments (the regimes
+    # QAT exists for); bench_qat_distill is incremental — already-
+    # measured sections keep
+    if missing("qat_distill_bench.json", "qat4_vs_ptq4",
+               "qat2_vs_ptq2"):
         jobs.append(("QAT/distill trainers",
                      lambda: run_script("bench_qat_distill")))
     if missing("gan_ablation.json", "arm_gan", "arm_l1"):
         jobs.append(("GAN-vs-L1 ablation",
                      lambda: run_script("bench_gan_ablation")))
+    if missing("dcn_bench.json", "bf16"):
+        jobs.append(("DCN kernel study (EDVR PCD shapes)",
+                     lambda: run_script("bench_dcn")))
     if not jobs:
         return
 

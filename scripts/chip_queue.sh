@@ -33,5 +33,8 @@ timeout 3600 python scripts/bench_gan_ablation.py 2>&1 | tail -8
 echo "== QAT/distill serving-aware trainers"
 timeout 2400 python scripts/bench_qat_distill.py 2>&1 | tail -8
 
+echo "== DCN kernel study (EDVR PCD shapes)"
+timeout 2400 python scripts/bench_dcn.py 2>&1 | tail -8
+
 echo "== headline refresh"
 timeout 3600 python bench.py 2>&1 | tail -20
