@@ -141,6 +141,7 @@ class EDVRFeatureExtractor(nn.Module):
     num_input_frame: int = 5
     num_feat: int = 64
     load_path: Optional[str] = None
+    dcn_max_offset: Optional[int] = None
     dtype: Dtype = None
 
     @nn.compact
@@ -169,6 +170,7 @@ class EDVRFeatureExtractor(nn.Module):
         l3 = l3.reshape(n, t, h // 4, w // 4, -1)
 
         pcd = PCDAlignment(self.num_feat, deformable_groups=8,
+                           dcn_max_offset=self.dcn_max_offset,
                            name="pcd_align", dtype=self.dtype)
         ref = [l1[:, center], l2[:, center], l3[:, center]]
         aligned = []
@@ -188,12 +190,14 @@ class IconVSR(nn.Module):
     temporal_padding: int = 2
     spynet_path: Optional[str] = None
     edvr_path: Optional[str] = None
+    dcn_max_offset: Optional[int] = None
     dtype: Dtype = None
 
     def setup(self):
         self.spynet = SpyNet(name="spynet", dtype=self.dtype)
         self.edvr = EDVRFeatureExtractor(self.temporal_padding * 2 + 1,
                                          self.num_feat, name="edvr",
+                                         dcn_max_offset=self.dcn_max_offset,
                                          dtype=self.dtype)
         self.backward_fusion = conv_kaiming(self.num_feat, 3,
                                             name="backward_fusion",

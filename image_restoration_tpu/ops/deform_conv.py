@@ -34,7 +34,19 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array,
                           mask: Optional[jax.Array], weight: jax.Array,
                           bias: Optional[jax.Array] = None, stride: int = 1,
                           padding: int = 1, dilation: int = 1,
-                          deformable_groups: int = 1) -> jax.Array:
+                          deformable_groups: int = 1,
+                          max_offset: Optional[int] = None,
+                          block: int = 16) -> jax.Array:
+    """max_offset=R selects the gather-free windowed path: offsets are
+    clamped to ±R and the bilinear sampling becomes two dense matmuls
+    over (block+2R+…)² local windows — identical results whenever every
+    learned offset is within ±R (the r4 DCN study measured XLA's gather
+    at 33× off the conv roofline on TPU; docs/assets/dcn_bench.json).
+    None (default) = the exact unbounded gather path."""
+    if max_offset is not None:
+        return _mdc_windowed(x, offset, mask, weight, bias, stride,
+                             padding, dilation, deformable_groups,
+                             int(max_offset), block)
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     k = kh * kw
@@ -89,6 +101,141 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array,
     out = jnp.einsum("ngckl,kgco->nlo", samples,
                      weight.reshape(k, g, cpg, cout))
     out = out.reshape(n, ho, wo, cout)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _mdc_windowed(x: jax.Array, offset: jax.Array,
+                  mask: Optional[jax.Array], weight: jax.Array,
+                  bias: Optional[jax.Array], stride: int, padding: int,
+                  dilation: int, g: int, R: int, bh: int) -> jax.Array:
+    """Gather-free DCNv2: bounded offsets + windowed separable one-hot.
+
+    XLA's arbitrary gather runs ~33× off the conv roofline on TPU
+    (123.6 ms vs 3.7 ms at the EDVR L1 shape — dcn_bench.json), because
+    the TPU has no hardware gather: every sampled row becomes a serial
+    dynamic-slice. With offsets clamped to ±R, every sampling point of
+    an output block lies inside a (bh+2R+(kh-1)·dil+2)² input window, so
+    bilinear sampling factorizes into two DENSE contractions per block:
+
+      rows:  S_y (T·K, wh) @ window (wh, ww·cpg)   — vertical lerp on
+             the MXU (S_y carries (1-wy)/wy at rows y0/y1, zeroed
+             outside the map — the exact op's per-corner mask),
+      cols:  Σ_w S_x (T·K, ww) · R1 (T·K, ww, cpg)  — horizontal lerp
+             on the VPU, with the DCNv2 modulation folded into S_x.
+
+    Blocks are visited with lax.map (one (by,bx) tile per step keeps the
+    R1 intermediate ~tens of MB instead of GBs); the tap contraction is
+    the same MXU einsum as the exact path. Semantics match the exact op
+    whenever |offset| ≤ R — EDVR's trained PCD offsets are a few pixels
+    (ref basicsr/ops/dcn CUDA kernel has no bound; the bound is the
+    price of the TPU-native form and is asserted in the goldens)."""
+    if stride != 1:
+        raise NotImplementedError("windowed DCN supports stride=1 only "
+                                  "(EDVR/PCD shapes); use the exact path")
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    if cin % g:
+        raise ValueError(f"cin={cin} not divisible by groups={g}")
+    cpg = cin // g
+    ho = h + 2 * padding - dilation * (kh - 1) - 1 + 1
+    wo = w + 2 * padding - dilation * (kw - 1) - 1 + 1
+    bw = bh
+    nbh = -(-ho // bh)
+    nbw = -(-wo // bw)
+    wh = bh + 2 * R + (kh - 1) * dilation + 2
+    ww = bw + 2 * R + (kw - 1) * dilation + 2
+    T = bh * bw
+
+    # zero-padded map: padded row index = global row + (padding + R);
+    # block (by,bx)'s window then starts at exactly (by·bh, bx·bw)
+    top = padding + R
+    xp = jnp.pad(x, ((0, 0), (top, nbh * bh + wh - top - h),
+                     (top, nbw * bw + ww - top - w), (0, 0)))
+    # offset/mask padded to the block grid (garbage rows are sliced off)
+    offp = jnp.pad(offset, ((0, 0), (0, nbh * bh - ho),
+                            (0, nbw * bw - wo), (0, 0)))
+    mp = None if mask is None else jnp.pad(
+        mask, ((0, 0), (0, nbh * bh - ho), (0, nbw * bw - wo), (0, 0)))
+
+    # per-tap kernel displacements and the in-window base position of
+    # output (oy,ox,tap): local_base = o_local + k·dil + R (the window
+    # origin b·bh - padding - R cancels the -padding of the base grid)
+    ky = jnp.repeat(jnp.arange(kh) * dilation, kw)  # (K,)
+    kx = jnp.tile(jnp.arange(kw) * dilation, kh)
+    oyl = jnp.arange(bh)
+    oxl = jnp.arange(bw)
+    dt = x.dtype
+    # (T, K) local base grids
+    base_y = (oyl[:, None, None] + jnp.zeros((bw,), jnp.int32)[None, :,
+                                                               None]
+              + ky[None, None, :] + R).reshape(T, k)
+    base_x = (jnp.zeros((bh,), jnp.int32)[:, None, None]
+              + oxl[None, :, None] + kx[None, None, :] + R).reshape(T, k)
+
+    wgt = weight.reshape(k, g, cpg, cout)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, wh), 3)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ww), 3)
+
+    def one_block(b):
+        by = b // nbw
+        bx = b % nbw
+        win = jax.lax.dynamic_slice(
+            xp, (0, by * bh, bx * bw, 0), (n, wh, ww, cin))
+        win = win.reshape(n, wh, ww, g, cpg)
+        off = jax.lax.dynamic_slice(
+            offp, (0, by * bh, bx * bw, 0), (n, bh, bw, 2 * k * g))
+        off = off.reshape(n, T, g, k, 2)
+        # positions in f32 regardless of dt: bf16's 8-bit mantissa would
+        # quantize the bilinear fraction to ~0.25 px at window row ~50
+        off = jnp.clip(off, -R, R).astype(jnp.float32)
+        # sampling positions, window-local, (n, g, T, K)
+        sy = base_y[None, None] + jnp.transpose(off[..., 0], (0, 2, 1, 3))
+        sx = base_x[None, None] + jnp.transpose(off[..., 1], (0, 2, 1, 3))
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = (sy - y0).reshape(n, g, T * k, 1)
+        fx = (sx - x0).reshape(n, g, T * k, 1)
+        y0 = y0.astype(jnp.int32).reshape(n, g, T * k, 1)
+        x0 = x0.astype(jnp.int32).reshape(n, g, T * k, 1)
+        # map-validity per corner row/col (the exact op's zero padding):
+        # window-local r is globally valid iff it indexes a real row
+        gy0 = by * bh - padding - R  # global row of window row 0
+        gx0 = bx * bw - padding - R
+        lo_y, hi_y = -gy0, h - 1 - gy0
+        lo_x, hi_x = -gx0, w - 1 - gx0
+
+        def sel(i0, f, grid, lo, hi):
+            v0 = jnp.where((i0 >= lo) & (i0 <= hi), (1 - f), 0)
+            v1 = jnp.where((i0 + 1 >= lo) & (i0 + 1 <= hi), f, 0)
+            return (jnp.where(grid == i0, v0, 0)
+                    + jnp.where(grid == i0 + 1, v1, 0)).astype(dt)
+
+        s_y = sel(y0, fy, rows_w, lo_y, hi_y)      # (n, g, T·K, wh)
+        s_x = sel(x0, fx, cols_w, lo_x, hi_x)      # (n, g, T·K, ww)
+        if mp is not None:
+            m = jax.lax.dynamic_slice(
+                mp, (0, by * bh, bx * bw, 0), (n, bh, bw, k * g))
+            m = jnp.transpose(m.reshape(n, T, g, k), (0, 2, 1, 3))
+            s_x = s_x * m.reshape(n, g, T * k, 1)
+        # vertical lerp on the MXU
+        r1 = jnp.einsum("ngsr,ngrwc->ngswc", s_y,
+                        jnp.transpose(win, (0, 3, 1, 2, 4)),
+                        preferred_element_type=jnp.float32)
+        # horizontal lerp on the VPU
+        samples = jnp.sum(r1 * s_x[..., None].astype(jnp.float32),
+                          axis=3)                    # (n, g, T·K, cpg)
+        samples = samples.astype(dt).reshape(n, g, T, k, cpg)
+        out = jnp.einsum("ngtkc,kgco->nto", samples, wgt,
+                         preferred_element_type=jnp.float32).astype(dt)
+        return out.reshape(n, bh, bw, cout)
+
+    blocks = jax.lax.map(one_block, jnp.arange(nbh * nbw))
+    out = blocks.reshape(nbh, nbw, n, bh, bw, cout)
+    out = jnp.transpose(out, (2, 0, 3, 1, 4, 5)).reshape(
+        n, nbh * bh, nbw * bw, cout)[:, :ho, :wo]
     if bias is not None:
         out = out + bias
     return out

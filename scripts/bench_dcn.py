@@ -11,6 +11,9 @@ variants so the serving op can adopt the fastest parity-exact form:
 
   current    — ops.deform_conv.modulated_deform_conv as shipped
                (spatial-minor, 4 corner gathers on axis -1)
+  windowed_R16 — the gather-free bounded-offset path (max_offset=16):
+               per-block separable one-hot matmuls, exact for
+               |offset| <= 16 (ops/deform_conv.py _mdc_windowed)
   fused4     — ONE take_along_axis for all 4 bilinear corners (packs
                the corner axis into the gather index vector; 1 big
                gather instead of 4)
@@ -199,7 +202,10 @@ def dcn_onehot_mxu(x, offset, mask, weight, bias=None, stride=1,
          sel(y0 + 1, x0, wy * (1 - wx)) +
          sel(y0 + 1, x0 + 1, wy * wx))          # (n, g, K·L, H·W)
     xr = jnp.transpose(x.reshape(n, hw, g, cpg), (0, 2, 1, 3))
-    samples = jnp.einsum("ngsp,ngpc->ngsc", S, xr)  # (n, g, K·L, cpg)
+    # HIGHEST: TPU f32 matmuls are bf16-pass by default, which broke the
+    # selection's parity gate at 3.4e-3 rel on chip
+    samples = jnp.einsum("ngsp,ngpc->ngsc", S, xr,
+                         precision=jax.lax.Precision.HIGHEST)
     if mask is not None:
         m = jnp.transpose(mask.reshape(n, ho, wo, g, k),
                           (0, 3, 4, 1, 2)).reshape(n, g, k * L, 1)
@@ -248,10 +254,14 @@ def run_level(name, cfg, dtype, iters, skip_onehot, check_parity=True):
                                                 **cfg)
     g = cfg["g"]
 
+    def windowed(*a, **kw):
+        return current(*a, max_offset=16, block=16, **kw)
+
     variants = {
         "current": current,
         "fused4": dcn_fused4,
         "chan_minor": dcn_chan_minor,
+        "windowed_R16": windowed,
     }
     hw = cfg["h"] * cfg["w"]
     if not skip_onehot and hw <= 16384:

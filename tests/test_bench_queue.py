@@ -39,6 +39,8 @@ JOBS = [
     ("bench_video", "video_bench.json", {"date": "t"}),
     ("bench_microbatch", "microbatch_bench.json",
      {"date": "t", "clients": 32, "speedup": 2.0, "pipeline_depth": 3,
+      "auto": {"selected": "per_request",
+               "calibration": {"speedup": 0.9}},
       "results": {"per_request": {"imgs_per_s": 100.0,
                                   "lat_p50_ms": 1, "lat_p95_ms": 2},
                   "microbatch": {"imgs_per_s": 200.0,
@@ -49,9 +51,12 @@ JOBS = [
     ("bench_detector_convergence", "detector_convergence.json",
      {"date": "t"}),
     ("bench_qat_distill", "qat_distill_bench.json",
-     {"date": "t", "qat4_vs_ptq4": {"qat_minus_ptq_db": 0.1}}),
+     {"date": "t", "qat4_vs_ptq4": {"qat_minus_ptq_db": 0.1},
+      "qat2_vs_ptq2": {"qat_minus_ptq_db": 0.1}}),
     ("bench_gan_ablation", "gan_ablation.json",
      {"date": "t", "arm_gan": {"psnr": 1.0}, "arm_l1": {"psnr": 1.0}}),
+    ("bench_dcn", "dcn_bench.json",
+     {"date": "t", "bf16": {"L1_180x320": {"current": 1.0}}}),
 ]
 ORDER = [j[0] for j in JOBS]
 
@@ -119,7 +124,7 @@ def test_marker_fields_requeue_stale_artifacts(bench_mod, tmp_path,
     bench_mod.run_queued_measurements()
     assert [c[0] for c in calls] == ["bench_distill_e2e",
                                      "bench_microbatch", "bench_e2e",
-                                     "bench_qat_distill"]
+                                     "bench_qat_distill", "bench_dcn"]
 
 
 def test_corrupt_artifact_counts_as_unmeasured(bench_mod, tmp_path,

@@ -62,6 +62,59 @@ def test_deform_conv_matches_naive(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+def test_deform_conv_windowed_matches_naive(rng):
+    """The gather-free bounded-offset path against the independent numpy
+    reference (same gate as the exact path)."""
+    x = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
+    offset = (rng.standard_normal((1, 6, 7, 18)) * 0.7).astype(np.float32)
+    mask = rng.random((1, 6, 7, 9)).astype(np.float32)
+    weight = rng.standard_normal((3, 3, 4, 5)).astype(np.float32)
+    want = _naive_deform_conv(x, offset, mask, weight)
+    got = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                jnp.asarray(mask), jnp.asarray(weight),
+                                max_offset=4, block=4)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,c,g,R,dil,pad,with_mask", [
+    (37, 45, 16, 4, 6, 1, 1, True),    # non-divisible odd sizes
+    (24, 24, 8, 1, 2, 2, 2, False),    # dilation 2, no modulation
+    (16, 16, 8, 2, 3, 1, 0, True),     # pad 0
+])
+def test_deform_conv_windowed_matches_exact(rng, h, w, c, g, R, dil, pad,
+                                            with_mask):
+    """Windowed path == exact path wherever |offset| <= R; offsets
+    beyond R clamp (the documented deviation), so the exact arm gets the
+    pre-clamped offsets and the windowed arm the raw ones."""
+    n, k = 2, 9
+    ho = h + 2 * pad - 2 * dil
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((n, ho, w + 2 * pad - 2 * dil,
+                                           2 * k * g)) * (R + 1),
+                      jnp.float32)  # some |off| > R: exercises the clamp
+    m = jnp.asarray(rng.random((n, ho, w + 2 * pad - 2 * dil, k * g)),
+                    jnp.float32) if with_mask else None
+    wgt = jnp.asarray(rng.standard_normal((3, 3, c, c)) / np.sqrt(9 * c),
+                      jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+    exact = modulated_deform_conv(x, jnp.clip(off, -R, R), m, wgt, b,
+                                  padding=pad, dilation=dil,
+                                  deformable_groups=g)
+    fast = modulated_deform_conv(x, off, m, wgt, b, padding=pad,
+                                 dilation=dil, deformable_groups=g,
+                                 max_offset=R, block=8)
+    err = float(jnp.abs(exact - fast).max() / jnp.abs(exact).max())
+    assert err < 1e-5, err
+
+
+def test_deform_conv_windowed_rejects_stride():
+    x = jnp.zeros((1, 8, 8, 4))
+    off = jnp.zeros((1, 4, 4, 18))
+    wgt = jnp.zeros((3, 3, 4, 4))
+    with pytest.raises(NotImplementedError, match="stride"):
+        modulated_deform_conv(x, off, None, wgt, stride=2, max_offset=4)
+
+
 def test_spynet_parity(rng):
     ref_mod = load_ref_arch("spynet_arch")
     tnet = ref_mod.SpyNet(load_path=None)
