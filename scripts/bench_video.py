@@ -43,9 +43,13 @@ ASSETS = os.path.join(os.path.dirname(os.path.dirname(
 H, W = 180, 320  # REDS eval geometry (x4 -> 720x1280)
 
 
-def bench_recurrent(name, T=15, dtype=jnp.bfloat16, iters=5):
-    net = build_network(dict(type=name, num_feat=64, num_block=30 if
-                             name == "BasicVSR" else 15, dtype=dtype))
+def bench_recurrent(name, T=15, dtype=jnp.bfloat16, iters=5,
+                    dcn_max_offset=None):
+    cfg = dict(type=name, num_feat=64, num_block=30 if
+               name == "BasicVSR" else 15, dtype=dtype)
+    if dcn_max_offset is not None:
+        cfg["dcn_max_offset"] = dcn_max_offset
+    net = build_network(cfg)
     x = jnp.zeros((1, T, H, W, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
     clip = jnp.asarray(np.random.default_rng(0).random(
@@ -62,12 +66,13 @@ def bench_recurrent(name, T=15, dtype=jnp.bfloat16, iters=5):
             "T": T}
 
 
-def bench_edvr(n_windows=4, dtype=jnp.bfloat16, iters=5):
+def bench_edvr(n_windows=4, dtype=jnp.bfloat16, iters=5,
+               dcn_max_offset=None):
     # EDVR-M: 64 feat, 5 frames, 10 front + 10 back blocks, TSA
     net = build_network(dict(type="EDVR", num_feat=64, num_frame=5,
                              deformable_groups=8, num_extract_block=5,
                              num_reconstruct_block=10, with_tsa=True,
-                             dtype=dtype))
+                             dcn_max_offset=dcn_max_offset, dtype=dtype))
     x = jnp.zeros((n_windows, 5, H, W, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
     wins = jnp.asarray(np.random.default_rng(0).random(
@@ -103,6 +108,14 @@ def main():
                                      iters=2 if tiny else 5)
     out["edvr_m"] = bench_edvr(n_windows=1 if tiny else 4,
                                iters=2 if tiny else 5)
+    # the windowed-DCN serving rows (dcn_max_offset=16 — the gather-free
+    # bounded-offset path; exactness at the bound is golden-tested, the
+    # bound itself probed at imported weights in test_edvr_golden.py)
+    out["iconvsr_dcn_w16"] = bench_recurrent(
+        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=16)
+    out["edvr_m_dcn_w16"] = bench_edvr(
+        n_windows=1 if tiny else 4, iters=2 if tiny else 5,
+        dcn_max_offset=16)
     if tiny:
         log("tiny CPU sanity only — NOT writing video_bench.json")
         return

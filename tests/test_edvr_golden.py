@@ -83,3 +83,54 @@ def test_edvr_golden_at_imported_weights(rng, variant):
                                          jnp.asarray(x)))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_edvr_windowed_dcn_matches_exact_at_imported_weights(rng):
+    """The serving knob (dcn_max_offset=16, the gather-free windowed DCN)
+    must reproduce the exact-path EDVR forward at imported weights, and
+    the learned offsets must actually be within the bound (probed via
+    the op the arch calls) — the justification for enabling R=16 in the
+    video-serving bench."""
+    import torch
+    import image_restoration_tpu.archs.edvr_arch as ea
+    install_stubs()
+    ref = load_ref_arch("edvr_arch")
+    torch.manual_seed(0)
+    kw = dict(num_in_ch=3, num_out_ch=3, num_feat=16, num_frame=3,
+              deformable_groups=2, num_extract_block=1,
+              num_reconstruct_block=1, with_tsa=True)
+    tnet = ref.EDVR(**kw).eval()
+    with torch.no_grad():
+        for name, p in tnet.named_parameters():
+            if "conv_offset" in name:
+                p.copy_(torch.randn_like(p) * 0.05)
+    x = rng.random((1, 3, 64, 64, 3)).astype(np.float32)
+
+    from image_restoration_tpu.archs import build_network
+    from image_restoration_tpu.convert.torch_import import import_network
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+    outs, max_off = {}, []
+    real_op = ea.modulated_deform_conv
+
+    def probing_op(xx, off, *a, **kwargs):
+        max_off.append(jnp.abs(off).max())
+        return real_op(xx, off, *a, **kwargs)
+
+    ea.modulated_deform_conv = probing_op
+    try:
+        for label, opt in (("exact", None), ("windowed", 16)):
+            jnet = build_network(dict(type="EDVR", dcn_max_offset=opt,
+                                      **kw))
+            variables = jax.jit(jnet.init)(jax.random.PRNGKey(0),
+                                           jnp.asarray(x))
+            params = import_network("EDVR", jnet, variables, sd)["params"]
+            max_off.clear()  # init appended tracers; probe eagerly below
+            outs[label] = np.asarray(jnet.apply({"params": params},
+                                                jnp.asarray(x)))
+            assert max(float(m) for m in max_off) < 16.0  # bound holds
+    finally:
+        ea.modulated_deform_conv = real_op
+    np.testing.assert_allclose(outs["windowed"], outs["exact"],
+                               rtol=1e-4, atol=1e-4)
