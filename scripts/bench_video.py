@@ -89,6 +89,50 @@ def bench_edvr(n_windows=4, dtype=jnp.bfloat16, iters=5,
             "windows": n_windows}
 
 
+def bench_duf(n_windows=4, dtype=jnp.bfloat16, iters=5):
+    # DUF-16 (ref duf_arch.py:189-283): 7-frame window -> center x4 via
+    # dynamic upsampling filters. Input is the LR clip directly.
+    net = build_network(dict(type="DUF", scale=4, num_layer=16,
+                             dtype=dtype))
+    x = jnp.zeros((n_windows, 7, H, W, 3), jnp.float32)
+    # DUF carries BatchNorm batch_stats: serve with the full variables
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    wins = jnp.asarray(np.random.default_rng(0).random(
+        (n_windows, 7, H, W, 3), np.float32))
+
+    def fwd(p, xx):
+        return net.apply(p, xx) * 1e-3
+    params = variables
+
+    ms = onchip_ms(fwd, params, wins, iters=iters, repeats=3)
+    fps = n_windows / (ms / 1e3)
+    log(f"DUF-16 7x{H}x{W} x4 bs={n_windows} ({dtype.__name__}): "
+        f"{ms:.1f} ms = {fps:.1f} frames/s")
+    return {"ms_per_batch": round(ms, 2), "frames_per_s": round(fps, 1),
+            "windows": n_windows}
+
+
+def bench_toflow(n_windows=4, dtype=jnp.bfloat16, iters=5):
+    # TOFlow (ref tof_arch.py:94-172): 7 bicubic-upscaled frames ->
+    # center frame; serving cost is at the x4 HR resolution
+    net = build_network(dict(type="TOFlow", dtype=dtype))
+    hh, ww_ = H * 4, W * 4
+    x = jnp.zeros((n_windows, 7, hh, ww_, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
+    wins = jnp.asarray(np.random.default_rng(0).random(
+        (n_windows, 7, hh, ww_, 3), np.float32))
+
+    def fwd(p, xx):
+        return net.apply({"params": p}, xx) * 1e-3
+
+    ms = onchip_ms(fwd, params, wins, iters=iters, repeats=3)
+    fps = n_windows / (ms / 1e3)
+    log(f"TOFlow 7x{hh}x{ww_} (HR in) bs={n_windows} ({dtype.__name__}): "
+        f"{ms:.1f} ms = {fps:.1f} frames/s")
+    return {"ms_per_batch": round(ms, 2), "frames_per_s": round(fps, 1),
+            "windows": n_windows}
+
+
 def main():
     tiny = "--tiny" in sys.argv  # CPU sanity: shake out crashes before
     if tiny:                     # spending a live-chip window on this
@@ -116,6 +160,10 @@ def main():
     out["edvr_m_dcn_w16"] = bench_edvr(
         n_windows=1 if tiny else 4, iters=2 if tiny else 5,
         dcn_max_offset=16)
+    out["duf_16"] = bench_duf(n_windows=1 if tiny else 4,
+                              iters=2 if tiny else 5)
+    out["toflow"] = bench_toflow(n_windows=1 if tiny else 2,
+                                 iters=2 if tiny else 5)
     if tiny:
         log("tiny CPU sanity only — NOT writing video_bench.json")
         return
