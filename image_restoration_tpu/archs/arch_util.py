@@ -10,7 +10,7 @@ deform_conv (gather-based bilinear sampling — no im2col CUDA kernel).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -97,14 +97,24 @@ class PixelShuffleUpsample(nn.Module):
 
 def flow_warp(x: jax.Array, flow: jax.Array,
               interp_mode: str = "bilinear",
-              padding_mode: str = "zeros") -> jax.Array:
+              padding_mode: str = "zeros",
+              max_flow: Optional[int] = None,
+              block: int = 16) -> jax.Array:
     """Warp an NHWC image by optical flow (N, H, W, 2), torch grid_sample
     align_corners=True semantics. Ref arch_util.py:112-143.
 
-    TPU-native: gather-free bilinear via one-hot matmuls is overkill here;
-    we use vectorized gathers on the flattened spatial dim, which XLA lowers
-    to efficient dynamic-slices.
+    Default: vectorized gathers on the flattened spatial dim. XLA lowers
+    those to serial dynamic-slices on TPU (no hardware gather — the r4
+    DCN study measured 33× off roofline), so `max_flow=R` selects the
+    gather-free windowed path: flow clamps to ±R and the bilinear warp
+    becomes two dense per-block contractions (vertical lerp on the MXU,
+    horizontal on the VPU) — identical results wherever |flow| ≤ R.
     """
+    if max_flow is not None:
+        if interp_mode != "bilinear":
+            raise NotImplementedError("windowed warp is bilinear-only")
+        return _flow_warp_windowed(x, flow, padding_mode, int(max_flow),
+                                   int(block))
     n, h, w, c = x.shape
     gy, gx = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype),
                           jnp.arange(w, dtype=flow.dtype), indexing="ij")
@@ -139,6 +149,83 @@ def flow_warp(x: jax.Array, flow: jax.Array,
     wy = wy[..., None]
     return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
             v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def _flow_warp_windowed(x: jax.Array, flow: jax.Array, padding_mode: str,
+                        R: int, bh: int) -> jax.Array:
+    """Gather-free bilinear warp for |flow| ≤ R (see flow_warp).
+
+    The single-tap special case of ops/deform_conv._mdc_windowed: tile
+    the output into bh² blocks, slice each block's (bh+2R+2)² window
+    from a zero-padded map, and factorize the bilinear sample into a
+    row-lerp one-hot matmul (MXU, full-C rows) and a column-lerp
+    reduce (VPU). lax.map over blocks bounds the intermediate."""
+    n, h, w, c = x.shape
+    bw = bh
+    nbh = -(-h // bh)
+    nbw = -(-w // bw)
+    wh = bh + 2 * R + 2
+    ww = bw + 2 * R + 2
+    T = bh * bw
+    dt = x.dtype
+
+    border = padding_mode == "border"
+    if border:
+        # replicate-pad so clamped-to-edge samples read edge values
+        xp = jnp.pad(x, ((0, 0), (R, nbh * bh + wh - R - h),
+                         (R, nbw * bw + ww - R - w), (0, 0)), mode="edge")
+    else:
+        xp = jnp.pad(x, ((0, 0), (R, nbh * bh + wh - R - h),
+                         (R, nbw * bw + ww - R - w), (0, 0)))
+    fp = jnp.pad(flow, ((0, 0), (0, nbh * bh - h), (0, nbw * bw - w),
+                        (0, 0)))
+
+    oyl = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).reshape(T)
+    oxl = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).reshape(T)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wh), 2)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ww), 2)
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
+
+    def one_block(b):
+        by = b // nbw
+        bx = b % nbw
+        win = jax.lax.dynamic_slice(xp, (0, by * bh, bx * bw, 0),
+                                    (n, wh, ww, c))
+        fl = jax.lax.dynamic_slice(fp, (0, by * bh, bx * bw, 0),
+                                   (n, bh, bw, 2)).reshape(n, T, 2)
+        fl = jnp.clip(fl, -R, R).astype(jnp.float32)
+        # window-local sampling positions (grid_sample: x+flow_x etc.)
+        sy = oyl[None] + R + fl[..., 1]
+        sx = oxl[None] + R + fl[..., 0]
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = (sy - y0)[..., None]
+        fx = (sx - x0)[..., None]
+        y0 = y0.astype(jnp.int32)[..., None]
+        x0 = x0.astype(jnp.int32)[..., None]
+        gy0 = by * bh - R  # global row of window row 0
+        gx0 = bx * bw - R
+
+        def sel(i0, f, grid, lo, hi):
+            if border:  # border mode: edge replication, no zeroing
+                v0, v1 = (1 - f), f
+            else:
+                v0 = jnp.where((i0 >= lo) & (i0 <= hi), 1 - f, 0)
+                v1 = jnp.where((i0 + 1 >= lo) & (i0 + 1 <= hi), f, 0)
+            return (jnp.where(grid == i0, v0, 0)
+                    + jnp.where(grid == i0 + 1, v1, 0)).astype(dt)
+
+        s_y = sel(y0, fy, rows_w, -gy0, h - 1 - gy0)   # (n, T, wh)
+        s_x = sel(x0, fx, cols_w, -gx0, w - 1 - gx0)   # (n, T, ww)
+        r1 = jnp.einsum("ntr,nrwc->ntwc", s_y, win, precision=prec,
+                        preferred_element_type=jnp.float32)
+        out = jnp.sum(r1 * s_x[..., None].astype(jnp.float32), axis=2)
+        return out.astype(dt).reshape(n, bh, bw, c)
+
+    blocks = jax.lax.map(one_block, jnp.arange(nbh * nbw))
+    out = blocks.reshape(nbh, nbw, n, bh, bw, c)
+    return jnp.transpose(out, (2, 0, 3, 1, 4, 5)).reshape(
+        n, nbh * bh, nbw * bw, c)[:, :h, :w]
 
 
 def resize_flow(flow: jax.Array, size_type: str, sizes: Sequence[float],

@@ -49,10 +49,15 @@ class ConvResidualBlocks(nn.Module):
 
 @ARCH_REGISTRY.register()
 class BasicVSR(nn.Module):
-    """Bidirectional recurrent VSR (ref :12-93). Input (N,T,H,W,3)."""
+    """Bidirectional recurrent VSR (ref :12-93). Input (N,T,H,W,3).
+
+    flow_max_offset=R serves the propagation warps through the
+    gather-free windowed flow_warp (archs/arch_util.py) — identical
+    while |flow| <= R px."""
     num_feat: int = 64
     num_block: int = 15
     spynet_path: Optional[str] = None
+    flow_max_offset: Optional[int] = None
     dtype: Dtype = None
 
     def setup(self):
@@ -98,7 +103,8 @@ class BasicVSR(nn.Module):
 
         def bwd_body(mdl, feat_prop, xs):
             x_i, flow_i = xs
-            feat_prop = flow_warp(feat_prop, flow_i)
+            feat_prop = flow_warp(feat_prop, flow_i,
+                                  max_flow=mdl.flow_max_offset)
             feat_prop = mdl.backward_trunk(
                 jnp.concatenate([x_i, feat_prop], axis=-1))
             return feat_prop, feat_prop
@@ -116,7 +122,8 @@ class BasicVSR(nn.Module):
 
         def fwd_body(mdl, feat_prop, xs):
             x_i, flow_i, bwd_i = xs
-            feat_prop = flow_warp(feat_prop, flow_i)
+            feat_prop = flow_warp(feat_prop, flow_i,
+                                  max_flow=mdl.flow_max_offset)
             feat_prop = mdl.forward_trunk(
                 jnp.concatenate([x_i, feat_prop], axis=-1))
             out = jnp.concatenate([bwd_i, feat_prop], axis=-1)
@@ -191,6 +198,7 @@ class IconVSR(nn.Module):
     spynet_path: Optional[str] = None
     edvr_path: Optional[str] = None
     dcn_max_offset: Optional[int] = None
+    flow_max_offset: Optional[int] = None
     dtype: Dtype = None
 
     def setup(self):
@@ -257,7 +265,8 @@ class IconVSR(nn.Module):
         feat_prop = jnp.zeros((n, hh, ww, self.num_feat), x.dtype)
         for i in range(t - 1, -1, -1):
             if i < t - 1:
-                feat_prop = flow_warp(feat_prop, flows_backward[:, i])
+                feat_prop = flow_warp(feat_prop, flows_backward[:, i],
+                                      max_flow=self.flow_max_offset)
             if i in keyframe_idx:
                 feat_prop = jnp.concatenate(
                     [feat_prop, feats_keyframe[i]], axis=-1)
@@ -272,7 +281,8 @@ class IconVSR(nn.Module):
         feat_prop = jnp.zeros_like(feat_prop)
         for i in range(t):
             if i > 0:
-                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1])
+                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1],
+                                      max_flow=self.flow_max_offset)
             if i in keyframe_idx:
                 feat_prop = jnp.concatenate(
                     [feat_prop, feats_keyframe[i]], axis=-1)

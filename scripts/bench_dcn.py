@@ -313,6 +313,38 @@ def run_level(name, cfg, dtype, iters, skip_onehot, check_parity=True):
     return rows
 
 
+def bench_flow_warp(dtype, iters, check_parity):
+    """BasicVSR's other gather: full-map bilinear warp by optical flow
+    (2 per frame in each trunk). Races the shipped gather form against
+    the windowed max_flow=32 path at the BasicVSR trunk shape."""
+    from image_restoration_tpu.archs.arch_util import flow_warp
+
+    rng = np.random.default_rng(0)
+    n, h, w, c, R = 1, 180, 320, 64, 32
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
+    fl = jnp.asarray(rng.standard_normal((n, h, w, 2)) * 6.0, dtype)
+
+    if check_parity:
+        with jax.default_matmul_precision("highest"):
+            ref = np.asarray(jax.jit(flow_warp)(
+                x.astype(jnp.float32), fl.astype(jnp.float32)), np.float64)
+            got = np.asarray(jax.jit(lambda a, b: flow_warp(
+                a, b, max_flow=R))(x.astype(jnp.float32),
+                                   fl.astype(jnp.float32)), np.float64)
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 1e-4, f"flow_warp windowed parity {err:.2e}"
+        log(f"  flow_warp: parity ok (windowed R={R})")
+
+    rows = {}
+    for vname, fn in (("current", lambda p, xx: flow_warp(xx, p)),
+                      ("windowed_R32", lambda p, xx: flow_warp(
+                          xx, p, max_flow=R))):
+        ms = onchip_ms(fn, fl, x, iters=iters)
+        rows[vname] = round(ms, 3)
+        log(f"  flow_warp 180x320x64 {vname}: {ms:.3f} ms")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
@@ -338,6 +370,9 @@ def main():
                                   2 if args.tiny else args.iters,
                                   args.skip_onehot,
                                   check_parity=(dtype_name == "f32"))
+        if not args.tiny:
+            res["flow_warp_180x320x64"] = bench_flow_warp(
+                dtype, args.iters, check_parity=(dtype_name == "f32"))
         out[dtype_name] = res
         if args.tiny:
             break

@@ -44,11 +44,13 @@ H, W = 180, 320  # REDS eval geometry (x4 -> 720x1280)
 
 
 def bench_recurrent(name, T=15, dtype=jnp.bfloat16, iters=5,
-                    dcn_max_offset=None):
+                    dcn_max_offset=None, flow_max_offset=None):
     cfg = dict(type=name, num_feat=64, num_block=30 if
                name == "BasicVSR" else 15, dtype=dtype)
     if dcn_max_offset is not None:
         cfg["dcn_max_offset"] = dcn_max_offset
+    if flow_max_offset is not None:
+        cfg["flow_max_offset"] = flow_max_offset
     net = build_network(cfg)
     x = jnp.zeros((1, T, H, W, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x)["params"]
@@ -160,6 +162,11 @@ def main():
     out["edvr_m_dcn_w16"] = bench_edvr(
         n_windows=1 if tiny else 4, iters=2 if tiny else 5,
         dcn_max_offset=16)
+    out["basicvsr_flow_w32"] = bench_recurrent(
+        "BasicVSR", T=T, iters=2 if tiny else 5, flow_max_offset=32)
+    out["iconvsr_dcn_w16_flow_w32"] = bench_recurrent(
+        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=16,
+        flow_max_offset=32)
     out["duf_16"] = bench_duf(n_windows=1 if tiny else 4,
                               iters=2 if tiny else 5)
     out["toflow"] = bench_toflow(n_windows=1 if tiny else 2,

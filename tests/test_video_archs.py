@@ -107,6 +107,21 @@ def test_deform_conv_windowed_matches_exact(rng, h, w, c, g, R, dil, pad,
     assert err < 1e-5, err
 
 
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_flow_warp_windowed_matches_exact(rng, mode):
+    """flow_warp(max_flow=R) == the gather path wherever |flow| <= R,
+    in both grid_sample padding modes (flows beyond R clamp)."""
+    from image_restoration_tpu.archs.arch_util import flow_warp
+    R = 5
+    x = jnp.asarray(rng.standard_normal((2, 37, 45, 16)), jnp.float32)
+    fl = jnp.asarray(rng.standard_normal((2, 37, 45, 2)) * (R + 2),
+                     jnp.float32)  # some |flow| > R: exercises the clamp
+    exact = flow_warp(x, jnp.clip(fl, -R, R), padding_mode=mode)
+    fast = flow_warp(x, fl, padding_mode=mode, max_flow=R, block=8)
+    err = float(jnp.abs(exact - fast).max() / jnp.abs(exact).max())
+    assert err < 1e-5, err
+
+
 def test_deform_conv_windowed_rejects_stride():
     x = jnp.zeros((1, 8, 8, 4))
     off = jnp.zeros((1, 4, 4, 18))
