@@ -506,7 +506,10 @@ def run_queued_measurements(headline=None):
     if missing("distill_e2e.json", "complete"):
         jobs.append(("distill E2E (teacher→student→served int8)",
                      lambda: run_script("bench_distill_e2e")))
-    if missing("video_bench.json"):
+    # the r4 windowed-DCN/flow serving rows + DUF/TOFlow mark the
+    # extended schema; artifacts without them re-queue
+    if missing("video_bench.json", "edvr_m_dcn_w16", "basicvsr_flow_w32",
+               "duf_16", "toflow"):
         jobs.append(("video SR serving", lambda: run_script("bench_video")))
     # auto.calibration marks the r4 measured auto-selection (min_fill
     # dispatcher + calibrate()); older artifacts carry retired dispatch

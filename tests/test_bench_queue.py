@@ -36,7 +36,11 @@ def bench_mod(tmp_path, monkeypatch):
 JOBS = [
     ("bench_distill_e2e", "distill_e2e.json",
      {"date": "t", "complete": True}),
-    ("bench_video", "video_bench.json", {"date": "t"}),
+    ("bench_video", "video_bench.json",
+     {"date": "t", "edvr_m_dcn_w16": {"frames_per_s": 1.0},
+      "basicvsr_flow_w32": {"frames_per_s": 1.0},
+      "duf_16": {"frames_per_s": 1.0},
+      "toflow": {"frames_per_s": 1.0}}),
     ("bench_microbatch", "microbatch_bench.json",
      {"date": "t", "clients": 32, "speedup": 2.0, "pipeline_depth": 3,
       "auto": {"selected": "per_request",
@@ -103,7 +107,11 @@ def test_marker_fields_requeue_stale_artifacts(bench_mod, tmp_path,
     auto_select / no qat4_vs_ptq4) and an incomplete distill artifact
     must re-run; artifacts WITH their markers skip."""
     # measured & current: video, detector, gan
-    (tmp_path / "video_bench.json").write_text(json.dumps({"date": "t"}))
+    (tmp_path / "video_bench.json").write_text(json.dumps(
+        {"date": "t", "edvr_m_dcn_w16": {"frames_per_s": 1.0},
+         "basicvsr_flow_w32": {"frames_per_s": 1.0},
+         "duf_16": {"frames_per_s": 1.0},
+         "toflow": {"frames_per_s": 1.0}}))
     (tmp_path / "detector_convergence.json").write_text(
         json.dumps({"date": "t"}))
     (tmp_path / "gan_ablation.json").write_text(json.dumps(
