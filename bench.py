@@ -255,7 +255,8 @@ def echo_artifacts():
     for section in (_echo_train, _echo_convergence, _echo_detector_conv,
                     _echo_e2e, _echo_ptq, _echo_rrdb, _echo_microbatch,
                     _echo_video, _echo_qat_distill, _echo_distill_e2e,
-                    _echo_gan_ablation):
+                    _echo_gan_ablation, _echo_dcn, _echo_roofline,
+                    _echo_longrun):
         try:
             section()
         except Exception as e:
@@ -429,6 +430,13 @@ def _echo_distill_e2e():
                 f"({d.get('speedup_vs_rrdb_serving')}× vs direct RRDB "
                 f"serving); distill−L1 {d.get('distill_minus_l1_db'):+} dB "
                 f"[measured {d['date']}]")
+        pts = d.get("budget_points") or []
+        if len(pts) > 1:
+            log("DISTILL gap-vs-budget: " + ", ".join(
+                f"{p['student_iters']}it(seed{p.get('student_seed', 2)}) "
+                f"gap {p['distill_gap_to_teacher_db']} dB "
+                f"(distill−L1 {p.get('distill_minus_l1_db'):+})"
+                for p in pts))
 
 
 def _echo_gan_ablation():
@@ -445,6 +453,54 @@ def _echo_gan_ablation():
                 f"vs {l1.get('niqe')} (GAN better by "
                 f"{d.get('l1_minus_gan_niqe')}; GT anchor "
                 f"{d.get('niqe_gt_anchor')}) [measured {d['date']}]")
+
+
+def _echo_dcn():
+    db = os.path.join(ASSETS, "dcn_bench.json")
+    if os.path.isfile(db):
+        d = json.load(open(db))
+        l1 = (d.get("bf16") or {}).get("L1_180x320") or {}
+        if "current" in l1 and "windowed_R16" in l1:
+            log(f"DCN kernel (EDVR PCD L1 180x320 bf16): gather "
+                f"{l1['current']} ms vs windowed-R16 {l1['windowed_R16']} "
+                f"ms/op (plain-conv anchor {l1.get('conv_ref')}) "
+                f"[measured {d['date']}]")
+
+
+def _echo_roofline():
+    rf = os.path.join(ASSETS, "train_roofline.json")
+    if os.path.isfile(rf):
+        d = json.load(open(rf))
+        for fam, label in (("gfpgan", "GFPGAN GAN step"),
+                           ("sr", "SRModel L1 step")):
+            for bskey, stages in sorted((d.get(fam) or {}).items()):
+                full = stages.get("full") if isinstance(stages, dict) \
+                    else None
+                if full:
+                    log(f"TRAIN roofline {label} {bskey}: "
+                        f"{full['measured_ms']} ms measured vs "
+                        f"{full.get('roofline_ms', '?')} ms roofline "
+                        f"(bound={full.get('bound', '?')}, "
+                        f"{full['jaxpr_gflops']} GF exact, MFU "
+                        f"{full.get('mfu_true', 0) * 100:.1f}%) "
+                        f"[measured {d['meta']['date']}]")
+
+
+def _echo_longrun():
+    lr = os.path.join(ASSETS, "gfpgan_longrun.json")
+    if os.path.isfile(lr):
+        d = json.load(open(lr))
+        c = d.get("curve") or {}
+        if c.get("val_psnr_ema"):
+            tail = (f"; snapshot@{d['snapshot_vs_final']['snapshot_iter']} "
+                    f"{d['snapshot_vs_final']['snapshot_psnr']} → final "
+                    f"{d['snapshot_vs_final']['final_psnr']} dB"
+                    if d.get("snapshot_vs_final") else "")
+            log(f"TRAIN longrun GFPGAN ({d.get('config', '')[:60]}...): "
+                f"val PSNR(ema) {c['val_psnr_ema'][0]} → "
+                f"{c['val_psnr_ema'][-1]} dB over {d.get('iters_done')} "
+                f"iters{tail} [measured {d['date']}, "
+                f"complete={d.get('complete')}]")
 
 
 # queued jobs at ~10-35 min each on a cold compile cache; the queue

@@ -239,6 +239,10 @@ def main():
                          "with --extend-teacher windows so each window "
                          "does not retrain the students; a final full "
                          "run produces the student/eval stages")
+    ap.add_argument("--student-seed", type=int, default=2,
+                    help="data-stream seed shared by BOTH student arms; "
+                         "vary to replicate the distill-vs-L1 delta "
+                         "(single-run noise check, VERDICT r4 weak #5)")
     ap.add_argument("--extend-teacher", action="store_true",
                     help="resume the teacher checkpoint and train it "
                          "FURTHER for --teacher-budget-s (the RRDB-23 "
@@ -294,8 +298,32 @@ def main():
                 hist = hist + [old["teacher_curve"]]
             if hist:
                 out["teacher_curve_history"] = hist
+            # gap-vs-budget: prior completed runs become budget POINTS that
+            # survive the whole-artifact rewrite (VERDICT r4 weak #5: the
+            # "budget knob" claim needs more than one measured point)
+            pts = old.get("budget_points", [])
+            if old.get("student_l1") and old.get("student_distill"):
+                pt = {"student_iters": old["student_l1"]["iters"],
+                      "student_seed": old.get("student_seed", 2),
+                      "teacher_psnr": old.get("teacher_psnr"),
+                      "l1_psnr": old["student_l1"]["psnr"],
+                      "distill_psnr": old["student_distill"]["psnr"],
+                      "distill_minus_l1_db": old.get("distill_minus_l1_db"),
+                      "distill_gap_to_teacher_db":
+                          old["student_distill"]["gap_to_teacher_db"],
+                      "int8_gap_to_teacher_db":
+                          old.get("student_distill_int8",
+                                  {}).get("gap_to_teacher_db"),
+                      "date": old.get("date")}
+                key = (pt["student_iters"], pt["student_seed"])
+                if key not in [(p["student_iters"],
+                                p.get("student_seed", 2)) for p in pts]:
+                    pts = pts + [pt]
+            if pts:
+                out["budget_points"] = pts
         except Exception:
             pass
+    out["student_seed"] = args.student_seed
 
     # one fixed degraded val pair shared by every arm (jit ARGS only)
     probe = build_student_trainer(bs, num_feat, num_conv, gt_hw, scale)
@@ -425,7 +453,7 @@ def main():
                 lambda a: jnp.asarray(a), teacher_params))
         state, done = train_loop(
             model, pool, bs, args.student_iters, args.chunk,
-            seed=2,  # SAME data stream for both arms
+            seed=args.student_seed,  # SAME data stream for both arms
             val_fn=lambda p: student_val_psnr(p, val_imgs, val_key),
             label=f"student-{arm}", out=out,
             curve_key=f"student_{arm}_curve",
@@ -487,6 +515,20 @@ def main():
     log(f"student-distill SERVED int8: {p_q} dB / SSIM {s_q} "
         f"({out['student_distill_int8']['gap_to_teacher_db']:+.3f} dB "
         f"below teacher)")
+
+    # this run's point joins the gap-vs-budget series
+    out.setdefault("budget_points", []).append({
+        "student_iters": out["student_l1"]["iters"],
+        "student_seed": args.student_seed,
+        "teacher_psnr": out["teacher_psnr"],
+        "l1_psnr": out["student_l1"]["psnr"],
+        "distill_psnr": out["student_distill"]["psnr"],
+        "distill_minus_l1_db": out["distill_minus_l1_db"],
+        "distill_gap_to_teacher_db":
+            out["student_distill"]["gap_to_teacher_db"],
+        "int8_gap_to_teacher_db":
+            out["student_distill_int8"]["gap_to_teacher_db"],
+        "date": out["date"]})
 
     # serving rate of THIS student through the headline tiler geometry
     if on_tpu or tiny:

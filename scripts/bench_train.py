@@ -77,7 +77,9 @@ def log(msg):
 # --------------------------------------------------------------- builders
 
 def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
-                         img_hw=256, gan_weight=0.1, tiny_net=False):
+                         img_hw=256, gan_weight=0.1, tiny_net=False,
+                         total_iter=200000, milestones=(100000, 150000),
+                         remove_pyramid_loss=50000, grad_clip=None):
     """Production GFPGANModel + on-device FFHQ degradation, ready to step.
 
     Mirrors configs/train_gfpgan_plate_256.yml (the TPU port of the
@@ -96,18 +98,19 @@ def build_gfpgan_trainer(batch, dtype=None, perceptual=True, remat=False,
     from image_restoration_tpu.data.pipelines import (
         FFHQDegradationConfig, make_ffhq_degradation)
 
+    clip = {"grad_clip": float(grad_clip)} if grad_clip else {}
     train = {
-        "optim_g": {"type": "Adam", "lr": 2e-3},
-        "optim_d": {"type": "Adam", "lr": 2e-3},
-        "scheduler": {"type": "MultiStepLR", "milestones": [100000, 150000],
+        "optim_g": {"type": "Adam", "lr": 2e-3, **clip},
+        "optim_d": {"type": "Adam", "lr": 2e-3, **clip},
+        "scheduler": {"type": "MultiStepLR", "milestones": list(milestones),
                       "gamma": 0.5},
-        "total_iter": 200000,
+        "total_iter": total_iter,
         "pixel_opt": {"type": "L1Loss", "loss_weight": 0.1},
         "L1_opt": {"type": "L1Loss", "loss_weight": 1.0},
         "gan_opt": {"type": "GANLoss", "gan_type": "wgan_softplus",
                     "loss_weight": gan_weight},
         "pyramid_loss_weight": 1.0,
-        "remove_pyramid_loss": 50000,
+        "remove_pyramid_loss": remove_pyramid_loss,
         "r1_reg_weight": 10,
         "net_d_iters": 1, "net_d_init_iters": 0, "net_d_reg_every": 16,
         "remat": remat,

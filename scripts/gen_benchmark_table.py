@@ -229,6 +229,64 @@ def main():
     else:
         add("Training", "GAN-vs-L1 ablation (PSNR/GMS/NIQE + triptychs)",
             "queued", "scripts/bench_gan_ablation.py")
+    if de:
+        for p in de.get("budget_points") or []:
+            add("Training", f"distill gap-vs-budget point "
+                f"({p['student_iters']} student iters, "
+                f"seed {p.get('student_seed', 2)})",
+                f"distill gap to teacher {p['distill_gap_to_teacher_db']} "
+                f"dB (distill−L1 {p.get('distill_minus_l1_db'):+} dB; "
+                f"served-int8 gap {p.get('int8_gap_to_teacher_db')} dB)",
+                p.get("date", de["date"]))
+    rf = load("train_roofline.json")
+    if rf:
+        for fam, label in (("gfpgan", "GFPGAN GAN step"),
+                           ("sr", "SRModel L1 step")):
+            for bskey, st in sorted((rf.get(fam) or {}).items()):
+                full = st.get("full") if isinstance(st, dict) else None
+                if full:
+                    add("Training roofline", f"{label} {bskey}",
+                        f"{full['measured_ms']} ms measured vs "
+                        f"{full.get('roofline_ms', '?')} ms roofline "
+                        f"({full.get('bound', '?')}-bound; "
+                        f"{full['jaxpr_gflops']} GF exact-jaxpr, MFU "
+                        f"{full.get('mfu_true', 0) * 100:.1f}%; HBM "
+                        f"{full.get('hbm_gbytes', '?')} GB/step)",
+                        rf["meta"]["date"])
+        tk = ((rf.get("gfpgan") or {}).get("bs16") or
+              (rf.get("gfpgan") or {}).get("bs8") or {}).get("top_kernels")
+        if tk:
+            top3 = "; ".join(f"{r['pct']}% {r['kernel'][:48]}"
+                             for r in tk["top"][:3])
+            add("Training roofline", "GFPGAN step top kernels (xplane)",
+                top3, rf["meta"]["date"])
+    lr = load("gfpgan_longrun.json")
+    if lr and (lr.get("curve") or {}).get("val_psnr_ema"):
+        c = lr["curve"]
+        add("Training", f"GFPGAN long-horizon production stack "
+            f"({lr.get('iters_done')} iters, scaled recipe)",
+            f"val PSNR(ema) {c['val_psnr_ema'][0]} → "
+            f"{c['val_psnr_ema'][-1]} dB"
+            + (f"; snapshot@"
+               f"{lr['snapshot_vs_final']['snapshot_iter']} "
+               f"{lr['snapshot_vs_final']['snapshot_psnr']} → final "
+               f"{lr['snapshot_vs_final']['final_psnr']} dB (NIQE "
+               f"{lr['snapshot_vs_final']['snapshot_niqe']} → "
+               f"{lr['snapshot_vs_final']['final_niqe']})"
+               if lr.get("snapshot_vs_final") else "")
+            + (f"; engine round-trip "
+               f"{lr['engine']['roundtrip_db']} dB"
+               if lr.get("engine") else ""),
+            lr["date"])
+    db = load("dcn_bench.json")
+    if db and "bf16" in db:
+        l1 = db["bf16"].get("L1_180x320") or {}
+        if "current" in l1:
+            add("Serving", "DCN op EDVR-PCD L1 180×320 bf16 "
+                "(gather vs windowed-R16)",
+                f"{l1['current']} → {l1.get('windowed_R16')} ms/op "
+                f"({l1['current'] / l1['windowed_R16']:.1f}×; plain-conv "
+                f"anchor {l1.get('conv_ref')} ms)", db["date"])
 
     # ---- render
     out = ["# Measured benchmarks (auto-generated)",
