@@ -241,10 +241,18 @@ def parse_xplane_top_kernels(trace_dir, top=15):
                       recursive=True)
     if not paths:
         return None, "no .xplane.pb produced"
-    try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
-    except Exception as e:
-        return None, f"xplane_pb2 unavailable: {e!r}"
+    xplane_pb2 = None
+    for cand in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                 "tensorflow.core.profiler.protobuf.xplane_pb2",
+                 "xprof.protobuf.xplane_pb2"):
+        try:
+            import importlib
+            xplane_pb2 = importlib.import_module(cand)
+            break
+        except Exception:
+            continue
+    if xplane_pb2 is None:
+        return None, "xplane_pb2 unavailable under any known module path"
     space = xplane_pb2.XSpace()
     with open(sorted(paths)[-1], "rb") as f:
         space.ParseFromString(f.read())
@@ -314,12 +322,14 @@ def main():
     }, "gfpgan": {}, "sr": {}}
 
     trace_handle = None
-    for bs in (int(b) for b in args.bs.split(",")):
+    import gc
+    bss = [int(b) for b in args.bs.split(",")]
+    for bs in bss:
         stages, handles = profile_gfpgan(bs, args.iters, tiny=args.tiny)
         result["gfpgan"][f"bs{bs}"] = stages
-        trace_handle = (handles, bs)
-        import gc
-        if int(args.bs.split(",")[-1]) != bs:
+        if bs == bss[-1]:
+            trace_handle = (handles, bs)  # only the traced bs may keep
+        else:                             # its state/exes alive in HBM
             del handles
             gc.collect()
             jax.clear_caches()
