@@ -47,6 +47,8 @@ class ConvUpLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None and x.dtype != self.dtype:
+            x = x.astype(self.dtype)  # mixed-precision compute cast
         in_ch = x.shape[-1]
         k = self.kernel_size
         n, h, w, _ = x.shape

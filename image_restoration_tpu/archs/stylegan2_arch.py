@@ -42,6 +42,17 @@ from ..ops.modulated_conv import fused_valid_conv
 Dtype = Any
 
 
+def _cast(x: jax.Array, dtype: Dtype) -> jax.Array:
+    """Mixed-precision entry cast: params stay f32 (master weights, init,
+    checkpoints unchanged); compute runs in `dtype` when set. The ops
+    layer (conv2d/upfirdn2d/fused_resample) casts weights/FIR kernels to
+    the activation dtype, so one cast here cascades through the layer.
+    dtype=None keeps exact f32 — the golden tests' path. (The r5 chip
+    trace showed the 'bf16' GAN trainer actually ran f32 convs because
+    these hand-rolled layers declared but never applied dtype.)"""
+    return x if dtype is None or x.dtype == dtype else x.astype(dtype)
+
+
 def stylegan_channels(channel_multiplier: float, narrow: float = 1.0) -> dict:
     """Resolution → channel-count table (ref stylegan2_ocr_arch.py:432-442)."""
     return {
@@ -71,6 +82,7 @@ class EqualLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = _cast(x, self.dtype)
         in_ch = x.shape[-1]
         weight = self.param(
             "weight", jax.nn.initializers.normal(stddev=1.0 / self.lr_mul),
@@ -101,6 +113,7 @@ class EqualConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = _cast(x, self.dtype)
         in_ch = x.shape[-1]
         k = self.kernel_size
         weight = self.param("weight", jax.nn.initializers.normal(1.0),
@@ -132,6 +145,7 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = _cast(x, self.dtype)
         in_ch = x.shape[-1]
         k = self.kernel_size
         weight = self.param("weight", jax.nn.initializers.normal(1.0),
@@ -203,6 +217,7 @@ class ModulatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, style):
+        x = _cast(x, self.dtype)
         in_ch = x.shape[-1]
         k = self.kernel_size
         weight = self.param("weight", jax.nn.initializers.normal(1.0),

@@ -238,34 +238,43 @@ def median_blur(x: jax.Array, ksize: int = 21, bits: int = 8) -> jax.Array:
     2^bits-level images). Replaces cv2.medianBlur (ref :354-356).
 
     Each of the `bits` rounds counts, for every pixel, how many window
-    neighbors are ≤ that pixel's current threshold — a fori_loop over the k²
-    window offsets of shifted-compare-accumulate VPU work, fully jittable.
+    neighbors are ≤ that pixel's current threshold. TPU shape (r5,
+    docs/assets/degrade_profile.json): the original form — a fori_loop
+    over all k² offsets of f32 dynamic-slice/compare ops — serialized
+    ~1800 tiny VPU dispatches and cost ~9 ms/step inside the degradation
+    chain. This form cuts it two ways, bit-exactly:
+      * all integer math in uint8/uint16 (4× VPU lanes vs f32; a k≤15
+        window count ≤ 225 fits u8 with headroom in u16),
+      * fori only over the k row shifts; the k column shifts are STATIC
+        slices unrolled inside the body, which XLA fuses into one tiled
+        compare-accumulate pass per row shift.
     """
     n, h, w, c = x.shape
     p = ksize // 2
-    q = jnp.round(x * 255.0)
+    q = jnp.round(x * 255.0).astype(jnp.uint8)
     qp = jnp.pad(q, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
-    n_window = float(ksize * ksize)
-    rank = (n_window + 1) / 2.0
-    offs = jnp.asarray([(dy, dx) for dy in range(ksize)
-                        for dx in range(ksize)], jnp.int32)
+    rank = (ksize * ksize + 1) // 2  # count is integer; >= ceil(k²/2)
 
-    lo = jnp.zeros_like(q)
-    hi = jnp.full_like(q, 255.0)
+    lo = jnp.zeros((n, h, w, c), jnp.int16)
+    hi = jnp.full((n, h, w, c), 255, jnp.int16)
     for _ in range(bits):
-        mid = jnp.floor((lo + hi) / 2.0)
+        mid = ((lo + hi) // 2).astype(jnp.int16)
 
-        def count_body(i, cnt):
-            win = jax.lax.dynamic_slice(qp, (0, offs[i, 0], offs[i, 1], 0),
-                                        (n, h, w, c))
-            return cnt + (win <= mid).astype(q.dtype)
+        def count_rows(dy, cnt):
+            slab = jax.lax.dynamic_slice(
+                qp, (0, dy, 0, 0), (n, h, w + 2 * p, c)).astype(jnp.int16)
+            row = jnp.zeros((n, h, w, c), jnp.uint8)
+            for dx in range(ksize):
+                row = row + (slab[:, :, dx:dx + w, :] <= mid
+                             ).astype(jnp.uint8)
+            return cnt + row.astype(jnp.uint16)
 
-        cnt = jax.lax.fori_loop(0, ksize * ksize, count_body,
-                                jnp.zeros_like(q))
+        cnt = jax.lax.fori_loop(0, ksize, count_rows,
+                                jnp.zeros((n, h, w, c), jnp.uint16))
         le_half = cnt >= rank  # median ≤ mid
         hi = jnp.where(le_half, mid, hi)
-        lo = jnp.where(le_half, lo, mid + 1.0)
-    return lo / 255.0
+        lo = jnp.where(le_half, lo, mid + 1)
+    return lo.astype(x.dtype) / 255.0
 
 
 def bilateral_blur(x: jax.Array, ksize: int = 21, sigma_color: float = 200.0,
@@ -277,27 +286,34 @@ def bilateral_blur(x: jax.Array, ksize: int = 21, sigma_color: float = 200.0,
     n, h, w, c = x.shape
     x255 = x * 255.0
 
-    offs = [(dy, dx) for dy in range(ksize) for dx in range(ksize)]
-    offs = jnp.asarray(offs, jnp.int32)
-    r2 = jnp.asarray([(dy - p) ** 2 + (dx - p) ** 2
-                      for dy in range(ksize) for dx in range(ksize)],
+    r2 = jnp.asarray([[(dy - p) ** 2 + (dx - p) ** 2
+                       for dx in range(ksize)] for dy in range(ksize)],
                      jnp.float32)
     # cv2 uses a circular neighborhood of radius d/2; σ may be traced
     sw = jnp.exp(-r2 / (2 * jnp.asarray(sigma_space, jnp.float32) ** 2))
     sw = sw * (r2 <= p * p)
+    inv2sc = 1.0 / (2 * jnp.asarray(sigma_color, jnp.float32) ** 2)
 
-    def body(i, acc):
+    # fori over the k ROW shifts only; the k column shifts are static
+    # slices unrolled in the body (one fused pass per row shift) — same
+    # serial-dispatch fix as median_blur, same r5 profile motivation
+    def body(dy, acc):
         num, den = acc
-        dy, dx = offs[i, 0], offs[i, 1]
-        win = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, c))
-        # cv2 color weight: exp(-(Σ_c|diff|)² / 2σ²) shared across channels
-        diff_l1 = jnp.sum(jnp.abs(win - x) * 255.0, axis=-1, keepdims=True)
-        wgt = sw[i] * jnp.exp(-(diff_l1 * diff_l1) / (2 * sigma_color ** 2))
-        return num + wgt * win, den + wgt
+        slab = jax.lax.dynamic_slice(xp, (0, dy, 0, 0),
+                                     (n, h, w + 2 * p, c))
+        sw_row = jax.lax.dynamic_slice(sw, (dy, 0), (1, ksize))[0]
+        for dx in range(ksize):
+            win = slab[:, :, dx:dx + w, :]
+            # cv2 color weight: exp(-(Σ_c|diff|)²/2σ²) shared across chans
+            diff_l1 = jnp.sum(jnp.abs(win - x) * 255.0, axis=-1,
+                              keepdims=True)
+            wgt = sw_row[dx] * jnp.exp(-(diff_l1 * diff_l1) * inv2sc)
+            num = num + wgt * win
+            den = den + wgt
+        return num, den
 
     num, den = jax.lax.fori_loop(
-        0, ksize * ksize, body,
-        (jnp.zeros_like(x), jnp.zeros_like(x)))
+        0, ksize, body, (jnp.zeros_like(x), jnp.zeros_like(x)))
     return num / jnp.maximum(den, 1e-8)
 
 

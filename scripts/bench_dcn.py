@@ -257,11 +257,20 @@ def run_level(name, cfg, dtype, iters, skip_onehot, check_parity=True):
     def windowed(*a, **kw):
         return current(*a, max_offset=16, block=16, **kw)
 
+    def windowed8(*a, **kw):
+        # half the clamp radius: window (bh+2R+4) 52 -> 36 wide. Exact
+        # whenever |offset| <= 8 — trained EDVR PCD offsets are a few px
+        # (ours draw N(0,2)), so the tighter radius is usually free;
+        # parity below gates it with offsets clipped to the radius (the
+        # documented semantics), timing uses the shared unclipped set.
+        return current(*a, max_offset=8, block=16, **kw)
+
     variants = {
         "current": current,
         "fused4": dcn_fused4,
         "chan_minor": dcn_chan_minor,
         "windowed_R16": windowed,
+        "windowed_R8": windowed8,
     }
     hw = cfg["h"] * cfg["w"]
     if not skip_onehot and hw <= 16384:
@@ -277,15 +286,24 @@ def run_level(name, cfg, dtype, iters, skip_onehot, check_parity=True):
             ref = np.asarray(jax.jit(lambda *a: current(
                 *a, deformable_groups=g))(*[a.astype(jnp.float32)
                                             for a in args]), np.float64)
+            # windowed parity is defined for |off| <= R: gate the tighter
+            # radius on its own clipped offset set + matching reference
+            off8 = jnp.clip(offset, -8.0, 8.0)
+            args8 = (x, off8, mask, weight, bias)
+            ref8 = np.asarray(jax.jit(lambda *a: current(
+                *a, deformable_groups=g))(*[a.astype(jnp.float32)
+                                            for a in args8]), np.float64)
             for vname, fn in variants.items():
                 if vname == "current":
                     continue
+                va, vref = ((args8, ref8) if vname == "windowed_R8"
+                            else (args, ref))
                 got = np.asarray(jax.jit(lambda *a, fn=fn: fn(
                     *a, deformable_groups=g))(*[a.astype(jnp.float32)
-                                                for a in args]),
+                                                for a in va]),
                                  np.float64)
-                err = np.abs(got - ref).max() / max(np.abs(ref).max(),
-                                                    1e-9)
+                err = np.abs(got - vref).max() / max(np.abs(vref).max(),
+                                                     1e-9)
                 assert err < 1e-4, f"{name}/{vname} parity {err:.2e}"
         log(f"  {name}: parity ok ({', '.join(variants)})")
 

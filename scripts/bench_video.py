@@ -162,6 +162,14 @@ def main():
     out["edvr_m_dcn_w16"] = bench_edvr(
         n_windows=1 if tiny else 4, iters=2 if tiny else 5,
         dcn_max_offset=16)
+    # half-radius rows: window 52 -> 36 wide at bh=16 (~1.9x less
+    # row-stage work); exact whenever |offset| <= 8 — re-gate per trained
+    # checkpoint before serving at this radius (docs/PERFORMANCE.md)
+    out["iconvsr_dcn_w8"] = bench_recurrent(
+        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=8)
+    out["edvr_m_dcn_w8"] = bench_edvr(
+        n_windows=1 if tiny else 4, iters=2 if tiny else 5,
+        dcn_max_offset=8)
     out["basicvsr_flow_w32"] = bench_recurrent(
         "BasicVSR", T=T, iters=2 if tiny else 5, flow_max_offset=32)
     out["iconvsr_dcn_w16_flow_w32"] = bench_recurrent(

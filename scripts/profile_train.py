@@ -159,10 +159,10 @@ def profile_gfpgan(bs, iters=16, tiny=False, top_shapes=True):
     stage("degrade", b_degrade, jnp.float32(0.0))
 
     def b_gfwd(c, i):
-        out, _ = net_g.apply({"params": state["params_g"]}, lq0 + c,
-                             return_rgb=True,
+        out, _ = net_g.apply({"params": state["params_g"]},
+                             (lq0 + c).astype(lq0.dtype), return_rgb=True,
                              rngs={"noise": jax.random.fold_in(key0, i)})
-        return jnp.mean(out) * 1e-6
+        return (jnp.mean(out) * 1e-6).astype(jnp.float32)
     stage("g_fwd", b_gfwd, jnp.float32(0.0))
 
     def b_gup(c, i):
@@ -204,7 +204,7 @@ def profile_gfpgan(bs, iters=16, tiny=False, top_shapes=True):
                     t += ls
                 return t
             g = jax.grad(loss)(gt0 + c)
-            return jnp.mean(g) * 1e-6
+            return (jnp.mean(g) * 1e-6).astype(jnp.float32)
         stage("perceptual_grad", b_perc, jnp.float32(0.0))
 
     return stages, (model, run, pool, key0)
