@@ -141,6 +141,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         global H, W
         H, W = 64, 96  # SpyNet's 5-level pyramid needs >=64
+    # --only=k1,k2: measure just those rows and MERGE into the existing
+    # artifact (new rows land without re-paying the slow exact-gather
+    # rows — the chip-time budget reason this flag exists)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     guard_backend()
     log(f"devices: {jax.devices()}")
     out = {"date": time.strftime("%Y-%m-%d"),
@@ -148,48 +155,67 @@ def main():
            "note": "on-chip scan timing, random weights (speed only; "
                    "parity via imported-weight goldens)"}
     T = 3 if tiny else 15
-    out["basicvsr"] = bench_recurrent("BasicVSR", T=T,
-                                      iters=2 if tiny else 5)
-    out["iconvsr"] = bench_recurrent("IconVSR", T=T,
-                                     iters=2 if tiny else 5)
-    out["edvr_m"] = bench_edvr(n_windows=1 if tiny else 4,
-                               iters=2 if tiny else 5)
-    # the windowed-DCN serving rows (dcn_max_offset=16 — the gather-free
-    # bounded-offset path; exactness at the bound is golden-tested, the
-    # bound itself probed at imported weights in test_edvr_golden.py)
-    out["iconvsr_dcn_w16"] = bench_recurrent(
-        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=16)
-    out["edvr_m_dcn_w16"] = bench_edvr(
-        n_windows=1 if tiny else 4, iters=2 if tiny else 5,
-        dcn_max_offset=16)
-    # half-radius rows: window 52 -> 36 wide at bh=16 (~1.9x less
-    # row-stage work); exact whenever |offset| <= 8 — re-gate per trained
-    # checkpoint before serving at this radius (docs/PERFORMANCE.md)
-    out["iconvsr_dcn_w8"] = bench_recurrent(
-        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=8)
-    out["edvr_m_dcn_w8"] = bench_edvr(
-        n_windows=1 if tiny else 4, iters=2 if tiny else 5,
-        dcn_max_offset=8)
-    out["basicvsr_flow_w32"] = bench_recurrent(
-        "BasicVSR", T=T, iters=2 if tiny else 5, flow_max_offset=32)
-    out["iconvsr_dcn_w16_flow_w32"] = bench_recurrent(
-        "IconVSR", T=T, iters=2 if tiny else 5, dcn_max_offset=16,
-        flow_max_offset=32)
-    out["duf_16"] = bench_duf(n_windows=1 if tiny else 4,
-                              iters=2 if tiny else 5)
-    out["toflow"] = bench_toflow(n_windows=1 if tiny else 2,
-                                 iters=2 if tiny else 5)
+    it = 2 if tiny else 5
+    nw = 1 if tiny else 4
+    rows = {
+        "basicvsr": lambda: bench_recurrent("BasicVSR", T=T, iters=it),
+        "iconvsr": lambda: bench_recurrent("IconVSR", T=T, iters=it),
+        "edvr_m": lambda: bench_edvr(n_windows=nw, iters=it),
+        # the windowed-DCN serving rows (dcn_max_offset=16 — the
+        # gather-free bounded-offset path; exactness at the bound is
+        # golden-tested, the bound itself probed at imported weights in
+        # test_edvr_golden.py)
+        "iconvsr_dcn_w16": lambda: bench_recurrent(
+            "IconVSR", T=T, iters=it, dcn_max_offset=16),
+        "edvr_m_dcn_w16": lambda: bench_edvr(
+            n_windows=nw, iters=it, dcn_max_offset=16),
+        # half-radius rows: window 52 -> 36 wide at bh=16 (~1.9x less
+        # row-stage work); exact whenever |offset| <= 8 — re-gate per
+        # trained checkpoint before serving at this radius
+        # (docs/PERFORMANCE.md)
+        "iconvsr_dcn_w8": lambda: bench_recurrent(
+            "IconVSR", T=T, iters=it, dcn_max_offset=8),
+        "edvr_m_dcn_w8": lambda: bench_edvr(
+            n_windows=nw, iters=it, dcn_max_offset=8),
+        "basicvsr_flow_w32": lambda: bench_recurrent(
+            "BasicVSR", T=T, iters=it, flow_max_offset=32),
+        "iconvsr_dcn_w16_flow_w32": lambda: bench_recurrent(
+            "IconVSR", T=T, iters=it, dcn_max_offset=16,
+            flow_max_offset=32),
+        "duf_16": lambda: bench_duf(n_windows=nw, iters=it),
+        "toflow": lambda: bench_toflow(n_windows=1 if tiny else 2,
+                                       iters=it),
+    }
+    if only:
+        unknown = only - set(rows)
+        if unknown:
+            raise SystemExit(f"--only: unknown rows {sorted(unknown)}; "
+                             f"valid: {sorted(rows)}")
+    path = os.path.join(ASSETS, "video_bench.json")
+    for key, fn in rows.items():
+        if only and key not in only:
+            continue
+        out[key] = fn()
     if tiny:
         log("tiny CPU sanity only — NOT writing video_bench.json")
         return
+    if only and os.path.isfile(path):
+        try:
+            old = json.load(open(path))
+            old.update(out)
+            old["date"] = out["date"]
+            out = old
+        except Exception as e:
+            log(f"merge with existing artifact failed ({e!r}); "
+                f"writing measured rows only")
     os.makedirs(ASSETS, exist_ok=True)
-    path = os.path.join(ASSETS, "video_bench.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
-    print(json.dumps({"metric": "basicvsr_frames_per_s",
-                      "value": out["basicvsr"]["frames_per_s"],
-                      "unit": "180x320_x4_frames/s"}), flush=True)
+    if "basicvsr" in out:
+        print(json.dumps({"metric": "basicvsr_frames_per_s",
+                          "value": out["basicvsr"]["frames_per_s"],
+                          "unit": "180x320_x4_frames/s"}), flush=True)
 
 
 if __name__ == "__main__":
