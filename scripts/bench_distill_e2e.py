@@ -145,7 +145,13 @@ def save_params(tree, path):
     if os.path.isdir(path):
         import shutil
         shutil.rmtree(path)
-    ocp.StandardCheckpointer().save(path, jax.device_get(tree))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(tree))
+    # save is ASYNC; dropping the checkpointer before its background
+    # commit finishes can kill the save at interpreter/GC shutdown
+    # (observed in bench_gfpgan_longrun's tmp-rename variant)
+    ckptr.wait_until_finished()
+    ckptr.close()
 
 
 def load_params(path):

@@ -94,7 +94,14 @@ def save_state(state, path):
     tmp = path + ".tmp"
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
-    ocp.StandardCheckpointer().save(tmp, jax.device_get(state))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp, jax.device_get(state))
+    # StandardCheckpointer.save is ASYNC: without the explicit wait the
+    # rename below races the background commit (observed: FileNotFoundError
+    # on the .tmp -> path swap, then "cannot schedule new futures after
+    # shutdown" from the orphaned commit thread at interpreter exit)
+    ckptr.wait_until_finished()
+    ckptr.close()
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
 
