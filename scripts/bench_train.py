@@ -419,15 +419,21 @@ def bench_steps(batch_sizes=(4, 8, 16), mode="both", dtype="bf16",
     out = os.path.join(ASSETS, "train_bench.json")
     if os.path.isfile(out):  # merge: keep rows for batch sizes not re-run
         old = json.load(open(out))
+        old_date = old.get("meta", {}).get("date")
         for key in ("gfpgan_gan_step", "sr_l1_step"):
             if key in old and key in results:
                 k = lambda r: (r["bs"], r.get("remat", False))
                 seen = {k(r) for r in results[key]["rows"]}
-                results[key]["rows"] += [r for r in old[key]["rows"]
-                                         if k(r) not in seen]
+                carried = [r for r in old[key]["rows"] if k(r) not in seen]
+                for r in carried:  # keep the date they were measured at
+                    r.setdefault("date", old_date)
+                results[key]["rows"] += carried
                 results[key]["rows"].sort(key=k)
-            elif key in old:
-                results[key] = old[key]
+        # any other artifact section (detector_step, ...) survives a
+        # partial re-run untouched
+        for key, val in old.items():
+            if key not in results:
+                results[key] = val
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     log(f"wrote {out}")

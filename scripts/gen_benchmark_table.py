@@ -147,12 +147,18 @@ def main():
             for r in blk.get("rows", []) or []:
                 variant = " (remat)" if r.get("remat") else ""
                 perf = ""
-                if "tflops" in r:  # XLA cost-analysis FLOPs / measured step
-                    perf = ", " + mfu(r["tflops"], PEAK_BF16_TFLOPS)
+                if "tflops" in r:
+                    # XLA cost-analysis FLOPs / measured step — a known
+                    # ~11x post-fusion UNDERCOUNT at these conv shapes;
+                    # true MFU is in the roofline section (utils/flops.py
+                    # exact-jaxpr numerator)
+                    perf = (f", {r['tflops']:.1f} TFLOP/s xla-counted "
+                            f"(see Training roofline for true MFU)")
                 add("Training", f"{label} bs={r['bs']}{variant}",
                     f"{r['imgs_per_sec']} imgs/s ({r['ms_per_step']} "
                     f"ms/step){perf}",
-                    blk.get("date") or tb.get("meta", {}).get("date", "?"))
+                    r.get("date") or blk.get("date")
+                    or tb.get("meta", {}).get("date", "?"))
     for kind in ("sr", "gfpgan"):
         cv = load(f"train_convergence_{kind}.json")
         if cv:
