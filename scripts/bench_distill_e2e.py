@@ -106,7 +106,12 @@ def build_student_trainer(bs, num_feat, num_conv, gt_hw, scale=4, lr=1e-3,
         RealESRGANDegradationConfig, make_realesrgan_degradation)
 
     train = {
-        "optim_g": {"type": "Adam", "lr": lr},
+        # grad_clip for the students too: the r5 seed-3 replicate run
+        # measured the UNCLIPPED distill arm diverging at ~iter 150
+        # (loss 0.018 -> 4e3, live val 31.9 -> 5.1 dB, then a slow
+        # 1800-iter recovery) — same failure mode as the r4 teacher
+        # collapse, same bound
+        "optim_g": {"type": "Adam", "lr": lr, "grad_clip": 1.0},
         "scheduler": {"type": "MultiStepLR", "milestones": [400000],
                       "gamma": 0.5},
         "total_iter": 400000, "ema_decay": 0.999,
