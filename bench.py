@@ -105,7 +105,7 @@ def _emit_stale_headline(why):
     return rc
 
 
-def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
+def guard_backend(probe_timeout_s=480, total_timeout_s=3600,
                   emit_error_json=False):
     """Fail fast instead of hanging when the axon tunnel daemon is dead.
 
@@ -127,6 +127,12 @@ def guard_backend(probe_timeout_s=240, total_timeout_s=3600,
         # measurements phase re-enters via the scripts' own main()s;
         # re-arming alarm(3600) here would defeat the queue budget)
         return
+
+    # a live-but-stalled tunnel has shown 94-245 s COLD first dispatches
+    # (r5, 2026-08-21) — the probe must outwait a stall it cannot fix;
+    # IRT_PROBE_TIMEOUT_S overrides per-run
+    probe_timeout_s = float(os.environ.get("IRT_PROBE_TIMEOUT_S",
+                                           probe_timeout_s))
 
     import signal
     import threading
