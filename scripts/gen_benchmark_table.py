@@ -258,7 +258,7 @@ def main():
                         f"{full['jaxpr_gflops']} GF exact-jaxpr, MFU "
                         f"{full.get('mfu_true', 0) * 100:.1f}%; HBM "
                         f"{full.get('hbm_gbytes', '?')} GB/step)",
-                        rf["meta"]["date"])
+                        st.get("date") or rf["meta"]["date"])
         tk = ((rf.get("gfpgan") or {}).get("bs16") or
               (rf.get("gfpgan") or {}).get("bs8") or {}).get("top_kernels")
         if tk:
