@@ -489,7 +489,8 @@ def _echo_roofline():
                         f"(bound={full.get('bound', '?')}, "
                         f"{full['jaxpr_gflops']} GF exact, MFU "
                         f"{full.get('mfu_true', 0) * 100:.1f}%) "
-                        f"[measured {d['meta']['date']}]")
+                        f"[measured "
+                        f"{stages.get('date') or d['meta']['date']}]")
 
 
 def _echo_longrun():
